@@ -1,0 +1,36 @@
+from druglamp_tpu.config import Config, builtin_config_path, load_config
+
+
+def test_defaults():
+    cfg = Config()
+    assert cfg.drug.node_in_feats == 75
+    assert cfg.drug.max_nodes == 512
+    assert cfg.protein.seq_len == 2304
+    assert cfg.protein.site_len == 9
+    assert cfg.pmma.hidden_size == 256
+    assert cfg.pmma.num_heads == 4
+    assert cfg.pmma.mol_len == cfg.pmma.feat_len == 256
+
+
+def test_load_druglamp_yaml():
+    cfg = load_config(builtin_config_path("DrugLAMP"))
+    assert cfg.solver.batch_size == 16
+    assert cfg.solver.max_epoch == 100
+    assert cfg.solver.lr == 1e-4
+    assert cfg.solver.ssl_lr == 3e-5
+    assert cfg.solver.cm_lr == 1e-5
+    assert cfg.rs.ssl is True and cfg.rs.cm is False
+    assert cfg.rs.init_epoch == 5 and cfg.rs.epoch_step == 5
+    assert cfg.decoder.binary == 1
+
+
+def test_load_2c2p_yaml():
+    cfg = load_config(builtin_config_path("DrugLAMP2C2P"))
+    assert cfg.rs.cm is True
+    assert cfg.solver.cm_lr == 3e-5
+
+
+def test_overrides():
+    cfg = load_config(builtin_config_path("DrugLAMP"), {"solver.seed": 41, "rs.task": True})
+    assert cfg.solver.seed == 41
+    assert cfg.rs.task is True
