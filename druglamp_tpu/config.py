@@ -110,8 +110,8 @@ class PMMAConfig:
     mlha_dropout: float = 0.0
 
     @staticmethod
-    def for_hidden(n_hidden: int) -> "PMMAConfig":
-        return PMMAConfig(hidden_size=2 * n_hidden)
+    def for_hidden(n_hidden: int, seq_len: int = 256) -> "PMMAConfig":
+        return PMMAConfig(hidden_size=2 * n_hidden, mol_len=seq_len, feat_len=seq_len)
 
 
 @dataclass(frozen=True)
@@ -136,7 +136,9 @@ class Config:
 
     @property
     def pmma(self) -> PMMAConfig:
-        return PMMAConfig.for_hidden(self.n_hidden)
+        # feat_len/mol_len = the site-pooled sequence length (256 by default)
+        return PMMAConfig.for_hidden(self.n_hidden,
+                                     self.protein.seq_len // self.protein.site_len)
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
