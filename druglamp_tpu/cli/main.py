@@ -1,0 +1,175 @@
+"""CLI entry point — flag-compatible with the reference driver (main.py:20-28).
+
+    python -m druglamp_tpu.cli.main --model DrugLAMP --data human \
+        --split random --seed 42 [--n-layer 30] [--max_epoch N] [--no-comet]
+
+TPU-native additions: --data-root (datasets location; defaults to bundled
+path), --work-dir (caches + checkpoints + logs), --cutoff (row limit for
+smoke runs), --mesh-model (tensor-parallel size), --eval-batch-size.
+
+Split semantics follow the reference: 'cluster'/'Tcpi' switch to RS-task mode
+(source_train.csv for training, target_test.csv for both val and test,
+main.py:67-68,81-83,138-153); otherwise train/val/test CSVs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+# ESM-2 layer-count → (ChemBERTa hidden, ESM embed dim); the reference reads
+# these from the configs/{n}_layers_params.txt sidecar written by the dataset
+# (handler/dataset.py:107-117) — the table is static per public ESM-2 sizes.
+N_LAYER2DIMS = {
+    48: (384, 5120),   # esm2_t48_15B
+    36: (384, 2560),   # esm2_t36_3B
+    33: (384, 1280),   # esm2_t33_650M
+    30: (384, 640),    # esm2_t30_150M (default)
+    12: (384, 480),    # esm2_t12_35M
+}
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DrugLAMP-TPU for DTI prediction")
+    p.add_argument("--seed", default=42, type=int, help="which seed to use")
+    p.add_argument("--no-comet", action="store_true", help="do not use comet.ml")
+    p.add_argument("--data", required=True, type=str, metavar="TASK", help="dataset")
+    p.add_argument("--model", required=True, type=str,
+                   help="which model to do DTI prediction")
+    p.add_argument("--n-layer", default=30, type=int, choices=sorted(N_LAYER2DIMS),
+                   help="which ESM-2 LLM to use")
+    p.add_argument("--split", default="random", type=str, metavar="S",
+                   choices=["random", "cold", "cluster", "Tcpi"], help="split task")
+    p.add_argument("--devices", type=str, default=None,
+                   help="accepted for reference-script compatibility (device "
+                        "selection is automatic under JAX)")
+    p.add_argument("--max_epoch", type=int, default=None)
+    # TPU-native extras
+    p.add_argument("--data-root", type=str, default="/root/reference/datasets")
+    p.add_argument("--work-dir", type=str, default=None)
+    p.add_argument("--cutoff", type=int, default=None, help="row limit (smoke runs)")
+    p.add_argument("--eval-batch-size", type=int, default=None)
+    p.add_argument("--mesh-model", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--grad-mode", type=str, default=None,
+                   choices=["per_loss", "legacy_aliased"])
+    p.add_argument("--gen-embed", action="store_true",
+                   help="generate frozen-encoder embedding caches before training")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    from druglamp_tpu.config import builtin_config_path, load_config
+    from druglamp_tpu.data.cache import EmbeddingCache, ZeroEmbeddings
+    from druglamp_tpu.data.dataset import DTIDataset
+    from druglamp_tpu.data.loader import BatchLoader
+    from druglamp_tpu.models.registry import build_model
+    from druglamp_tpu.parallel.mesh import MeshContext, make_mesh
+    from druglamp_tpu.train.trainer import Trainer
+    from druglamp_tpu.utils.logging import ExperimentLogger
+
+    from druglamp_tpu.models.registry import MODEL_REGISTRY
+
+    if args.model not in MODEL_REGISTRY:
+        print(f"error: unknown model {args.model!r}; available: "
+              f"{', '.join(sorted(MODEL_REGISTRY))}", file=sys.stderr)
+        return 2
+
+    overrides = {"solver.seed": args.seed}
+    if args.max_epoch:
+        overrides["solver.max_epoch"] = args.max_epoch
+    if args.eval_batch_size:
+        overrides["solver.eval_batch_size"] = args.eval_batch_size
+    if args.grad_mode:
+        overrides["solver.grad_mode"] = args.grad_mode
+    if args.split in ("cluster", "Tcpi"):
+        overrides["rs.task"] = True
+    cfg = load_config(builtin_config_path(args.model), overrides)
+
+    np.random.seed(cfg.solver.seed)
+
+    timestamp = time.strftime("%m%d_%H%M%S")
+    exp_name = f"{args.data}-{args.split}-{args.model}-seed{args.seed}-{timestamp}"
+    work_dir = args.work_dir or os.path.join(cfg.result.output_dir, exp_name)
+    os.makedirs(work_dir, exist_ok=True)
+
+    n_drug_feature, n_prot_feature = N_LAYER2DIMS[args.n_layer]
+
+    kw = dict(max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
+              max_prot_resis=cfg.protein.max_resis, cutoff=args.cutoff)
+    if cfg.rs.task:
+        train_ds = DTIDataset(args.data_root, args.data, args.split,
+                              "source_train.csv", **kw)
+        val_ds = DTIDataset(args.data_root, args.data, args.split,
+                            "target_test.csv", table=train_ds.table, **kw)
+        test_ds = val_ds
+    else:
+        train_ds = DTIDataset(args.data_root, args.data, args.split, "train.csv", **kw)
+        val_ds = DTIDataset(args.data_root, args.data, args.split, "val.csv",
+                            table=train_ds.table, **kw)
+        test_ds = DTIDataset(args.data_root, args.data, args.split, "test.csv",
+                             table=train_ds.table, **kw)
+
+    needs_llm = args.model != "DrugLAMPwoLLM"
+    cache_dir = os.path.join(work_dir, "embed_cache") if args.work_dir else \
+        os.path.join(os.path.dirname(work_dir), "embed_cache", args.data)
+    if needs_llm:
+        cache = EmbeddingCache(cache_dir, args.data, n_drug_feature, n_prot_feature)
+        if args.gen_embed:
+            from druglamp_tpu.encoders.embed_pipeline import generate_embeddings
+
+            generate_embeddings(train_ds.table, cache, n_layer=args.n_layer)
+        missing = [o for o in range(train_ds.table.n_drug) if not cache.has_drug(o)]
+        if missing:
+            print(f"[warn] {len(missing)} drug embeddings missing from {cache_dir}; "
+                  f"using zeros (run with --gen-embed to populate)", file=sys.stderr)
+            embeddings = ZeroEmbeddings(n_drug_feature, n_prot_feature)
+        else:
+            embeddings = cache
+    else:
+        embeddings = ZeroEmbeddings(n_drug_feature, n_prot_feature)
+
+    bs = cfg.solver.batch_size
+    eval_bs = cfg.solver.eval_batch_size
+    train_loader = BatchLoader(train_ds, bs, shuffle=True, drop_last=True,
+                               embeddings=embeddings, seed=cfg.solver.seed)
+    val_loader = BatchLoader(val_ds, eval_bs, shuffle=False, drop_last=False,
+                             embeddings=embeddings)
+    test_loader = BatchLoader(test_ds, eval_bs, shuffle=False, drop_last=False,
+                              embeddings=embeddings)
+
+    model = build_model(args.model, cfg, n_drug_feature, n_prot_feature)
+
+    mesh_ctx = MeshContext(make_mesh(args.mesh_model),
+                           tensor_parallel=args.mesh_model > 1)
+
+    logger = ExperimentLogger(
+        cfg.result.output_dir, exp_name,
+        hyperparams={"model": args.model, "data": args.data, "split": args.split,
+                     "seed": args.seed, "batch_size": bs,
+                     "max_epoch": cfg.solver.max_epoch, "lr": cfg.solver.lr,
+                     "ssl": cfg.rs.ssl, "cm": cfg.rs.cm},
+        use_comet=cfg.comet.use and not args.no_comet,
+        comet_cfg={"project_name": cfg.comet.project_name,
+                   "workspace": cfg.comet.workspace})
+
+    trainer = Trainer(model, cfg, train_loader, val_loader, test_loader,
+                      logger=logger, work_dir=work_dir,
+                      shard_fn=mesh_ctx.shard_batch)
+    example = next(train_loader.epoch(0))
+    metrics = trainer.run_experiment(example, seed=cfg.solver.seed)
+    print({f"test_{k}": round(v, 5) for k, v in metrics.items()})
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    s = time.time()
+    rc = main()
+    print(f"Total running time: {round(time.time() - s, 2)}s")
+    sys.exit(rc)

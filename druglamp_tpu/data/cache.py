@@ -1,0 +1,86 @@
+"""Frozen-encoder embedding cache.
+
+The reference stores one torch ``.pt`` per entity
+({ds}_{ord}_{prot|drug}_..._embedded.pt, handler/dataset.py:119-171) and
+torch.loads them per *sample* in the hot input path.  Here the cache is
+numpy: one ``.npy`` per entity written once by the embedding pipeline
+(encoders/embed_pipeline.py), loaded once into RAM at startup (caches are
+small: entities × seq × dim ≪ host memory), then sliced per batch with no
+per-sample disk I/O.
+
+``ZeroEmbeddings`` serves zeros (shape-correct) for the woLLM path and for
+runs before the encoder caches exist.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+class ZeroEmbeddings:
+    """Shape-correct zero embeddings (drug (0,·) / prot (0,·) → all-pad)."""
+
+    def __init__(self, n_drug_feature: int = 384, n_prot_feature: int = 640):
+        self.n_drug_feature = n_drug_feature
+        self.n_prot_feature = n_prot_feature
+
+    def drug(self, ordinal: int) -> np.ndarray:
+        return np.zeros((0, self.n_drug_feature), np.float32)
+
+    def prot(self, ordinal: int) -> np.ndarray:
+        return np.zeros((0, self.n_prot_feature), np.float32)
+
+
+class EmbeddingCache:
+    """Directory of per-entity .npy arrays, preloaded into RAM."""
+
+    def __init__(self, cache_dir: str, dataset: str,
+                 n_drug_feature: int = 384, n_prot_feature: int = 640,
+                 preload: bool = True):
+        self.cache_dir = cache_dir
+        self.dataset = dataset
+        self.n_drug_feature = n_drug_feature
+        self.n_prot_feature = n_prot_feature
+        self._drug: Dict[int, np.ndarray] = {}
+        self._prot: Dict[int, np.ndarray] = {}
+        self._preload = preload
+
+    def drug_path(self, ordinal: int) -> str:
+        return os.path.join(self.cache_dir, f"{self.dataset}_{ordinal}_drug_embedded.npy")
+
+    def prot_path(self, ordinal: int) -> str:
+        return os.path.join(self.cache_dir,
+                            f"{self.dataset}_{ordinal}_prot_{self.n_prot_feature}_embedded.npy")
+
+    def has_drug(self, ordinal: int) -> bool:
+        return ordinal in self._drug or os.path.exists(self.drug_path(ordinal))
+
+    def has_prot(self, ordinal: int) -> bool:
+        return ordinal in self._prot or os.path.exists(self.prot_path(ordinal))
+
+    def put_drug(self, ordinal: int, emb: np.ndarray) -> None:
+        os.makedirs(self.cache_dir, exist_ok=True)
+        np.save(self.drug_path(ordinal), emb.astype(np.float32))
+
+    def put_prot(self, ordinal: int, emb: np.ndarray) -> None:
+        os.makedirs(self.cache_dir, exist_ok=True)
+        np.save(self.prot_path(ordinal), emb.astype(np.float32))
+
+    def drug(self, ordinal: int) -> np.ndarray:
+        if ordinal not in self._drug:
+            arr = np.load(self.drug_path(ordinal))
+            if not self._preload:
+                return arr
+            self._drug[ordinal] = arr
+        return self._drug[ordinal]
+
+    def prot(self, ordinal: int) -> np.ndarray:
+        if ordinal not in self._prot:
+            arr = np.load(self.prot_path(ordinal))
+            if not self._preload:
+                return arr
+            self._prot[ordinal] = arr
+        return self._prot[ordinal]

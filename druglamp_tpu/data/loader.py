@@ -1,0 +1,186 @@
+"""Batch assembly + background-prefetch loader.
+
+Replaces torch DataLoader + ``multimodality_collate_func`` (reference
+utils.py:326-334, main.py:138-153).  Fixed-shape numpy batches are assembled
+on host (memset + scatter into preallocated buffers), prefetched on a
+background thread, and handed to JAX; drug/protein frozen embeddings come
+from an EmbeddingCache with tail-pad (drug, 512) / repeat-pad (protein,
+2304) — utils.py:304-334 semantics.
+
+Also builds the CM ground-truth arrays the jittable triplet loss consumes
+(the dense form of reference cross_modality.py:137-149): per-batch
+unique-entity slots (dict-of-last-occurrence semantics preserved), validity
+masks, and a (B, B) label matrix with 0 = unobserved (counted negative) and
+−1 = padded slot.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from druglamp_tpu.data.cache import ZeroEmbeddings
+from druglamp_tpu.data.dataset import DTIDataset
+
+
+def build_cm_arrays(prot_ids, drug_ids, labels) -> Dict[str, np.ndarray]:
+    """Dense CM ground truth for one batch (slot order = first appearance,
+    slot representative = LAST occurrence, as the reference dict builds)."""
+    B = len(prot_ids)
+    pid2t: Dict[int, int] = {}
+    did2t: Dict[int, int] = {}
+    for t in range(B):
+        pid2t[int(prot_ids[t])] = t
+        did2t[int(drug_ids[t])] = t
+    p_slots = list(pid2t.keys())
+    d_slots = list(did2t.keys())
+
+    p_index = np.zeros(B, np.int32)
+    p_valid = np.zeros(B, bool)
+    d_index = np.zeros(B, np.int32)
+    d_valid = np.zeros(B, bool)
+    gt = np.full((B, B), -1.0, np.float32)
+    for i, pid in enumerate(p_slots):
+        p_index[i] = pid2t[pid]
+        p_valid[i] = True
+    for j, did in enumerate(d_slots):
+        d_index[j] = did2t[did]
+        d_valid[j] = True
+    p_slot_of = {pid: i for i, pid in enumerate(p_slots)}
+    d_slot_of = {did: j for j, did in enumerate(d_slots)}
+    gt[: len(p_slots), : len(d_slots)] = 0.0
+    for t in range(B):
+        gt[p_slot_of[int(prot_ids[t])], d_slot_of[int(drug_ids[t])]] = labels[t]
+    return {"p_index": p_index, "p_valid": p_valid, "d_index": d_index,
+            "d_valid": d_valid, "gt": gt}
+
+
+class BatchLoader:
+    """Epoch iterator yielding fixed-shape numpy batch dicts."""
+
+    def __init__(self, dataset: DTIDataset, batch_size: int, shuffle: bool,
+                 drop_last: bool, embeddings=None, seed: int = 0,
+                 prefetch: int = 2):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.emb = embeddings if embeddings is not None else ZeroEmbeddings()
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _order(self, epoch: int) -> np.ndarray:
+        n = len(self.ds)
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.RandomState(self.seed * 100003 + epoch)
+        return rng.permutation(n)
+
+    def _assemble(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        ds = self.ds
+        n_real = len(idx)
+        if n_real < self.batch_size:
+            # pad ragged tail batches to the fixed batch shape (avoids jit
+            # recompiles); "valid" masks the padding out of metrics/losses
+            idx = np.concatenate([idx, np.full(self.batch_size - n_real, idx[0],
+                                               dtype=idx.dtype)])
+        B = len(idx)
+        N = ds.max_nodes
+        L = ds.seq_len
+        nd = self.emb.n_drug_feature
+        np_ = self.emb.n_prot_feature
+
+        batch = {
+            "drug_node_feats": np.zeros((B, N, 75), np.float32),
+            "drug_adj": np.zeros((B, N, N), np.uint8),
+            "drug_degrees": np.zeros((B, N), np.float32),
+            "vp": np.zeros((B, L), np.int32),
+            "p_fill": np.zeros((B, L), np.float32),
+            "d_fill": np.zeros((B, N), np.float32),
+            "xd": np.zeros((B, N, nd), np.float32),
+            "xp": np.zeros((B, L, np_), np.float32),
+            "labels": np.zeros((B,), np.float32),
+        }
+        from druglamp_tpu.chem import native as _native
+
+        use_native = _native.available()
+        if use_native:
+            drecs = [ds.table.drugs[int(ds.drug_ords[i])] for i in idx]
+            adj, deg = _native.assemble_batch([d.edges for d in drecs],
+                                              np.array([d.n_atoms for d in drecs]),
+                                              N)
+            batch["drug_adj"] = adj
+            batch["drug_degrees"] = deg
+
+        ar = np.arange(N)
+        for b, i in enumerate(idx):
+            dord = int(ds.drug_ords[i])
+            pord = int(ds.prot_ords[i])
+            drec = ds.table.drugs[dord]
+            prec = ds.table.prots[pord]
+            n = drec.n_atoms
+            batch["drug_node_feats"][b, :n, :74] = drec.node_feats
+            batch["drug_node_feats"][b, n:, 74] = 1.0
+            if not use_native:
+                adj = batch["drug_adj"][b]
+                adj[drec.edges[0], drec.edges[1]] = 1
+                adj[ar, ar] = 1
+                adj[ar[:n], ar[:n]] = 2
+                batch["drug_degrees"][b] = adj.sum(1)
+            batch["vp"][b] = prec.codes
+            batch["p_fill"][b, prec.fill_start :] = 1.0
+            batch["labels"][b] = ds.labels[i]
+
+            demb = self.emb.drug(dord)          # (T, nd)
+            t = min(demb.shape[0], N)
+            batch["xd"][b, :t] = demb[:t]
+            batch["d_fill"][b, t:] = 1.0
+            pemb = self.emb.prot(pord)          # (Lp, np)
+            lp = pemb.shape[0]
+            if lp > 0:
+                quot = L // lp
+                for j in range(quot):
+                    batch["xp"][b, j * lp : (j + 1) * lp] = pemb
+
+        batch["valid"] = (np.arange(B) < n_real).astype(np.float32)
+        batch["cm"] = build_cm_arrays(ds.prot_ords[idx], ds.drug_ords[idx],
+                                      ds.labels[idx])
+        return batch
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order(epoch)
+        n = len(order)
+        bs = self.batch_size
+        stops = range(0, n - bs + 1, bs) if self.drop_last else range(0, n, bs)
+        chunks = [order[s : s + bs] for s in stops]
+
+        if self.prefetch <= 0:
+            for c in chunks:
+                yield self._assemble(c)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for c in chunks:
+                    q.put(self._assemble(c))
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+        t.join()

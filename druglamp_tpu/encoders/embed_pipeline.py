@@ -1,0 +1,118 @@
+"""Offline frozen-embedding generation (the reference's ``process()`` path).
+
+Reference handler/dataset.py:124-171 embeds every unique protein (ESM-2,
+final-layer representations incl. BOS/EOS rows) and drug (ChemBERTa
+last_hidden_state) on CPU, one entity at a time, into per-entity files.
+TPU-native version:
+
+- runs the Flax encoders under jit on the accelerator,
+- buckets sequences by length into a few fixed padded shapes (static shapes
+  → bounded compile count; padded rows are sliced off before writing),
+- writes the numpy EmbeddingCache (data/cache.py).
+
+Weights: pass converted params (encoders/convert.py) for real ChemBERTa /
+ESM-2 checkpoints; with none given the encoders run random-initialized
+(deterministic per seed) — the full pipeline remains runnable in airgapped
+environments, with a loud warning since embeddings then carry no pretrained
+signal.  For esm2_t48_15B, params can be sharded over the mesh's 'model'
+axis before calling (the encoder's Dense kernels carry logical axis names).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from druglamp_tpu.chem.tokenizer import SmilesTokenizer
+from druglamp_tpu.data.cache import EmbeddingCache
+from druglamp_tpu.encoders.chemberta import ChemBERTa, ChemBERTaConfig
+from druglamp_tpu.encoders.esm2 import (ESM2, ESM_PAD, esm2_config_for_layers,
+                                        esm_tokenize)
+
+_BUCKETS = (128, 256, 512, 1024, 1032)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+def _batched(items: List[Tuple[int, np.ndarray]], batch: int, pad_id: int):
+    """Group (ordinal, ids) by length bucket, yield padded (ords, tokens)."""
+    by_bucket: Dict[int, List[Tuple[int, np.ndarray]]] = {}
+    for ordn, ids in items:
+        by_bucket.setdefault(_bucket(len(ids)), []).append((ordn, ids))
+    for b, group in sorted(by_bucket.items()):
+        for s in range(0, len(group), batch):
+            chunk = group[s : s + batch]
+            toks = np.full((len(chunk), b), pad_id, np.int32)
+            lens = []
+            for r, (_, ids) in enumerate(chunk):
+                toks[r, : len(ids)] = ids
+                lens.append(len(ids))
+            yield [o for o, _ in chunk], toks, lens
+
+
+def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
+                        esm_params=None, chemberta_params=None,
+                        chemberta_cfg: Optional[ChemBERTaConfig] = None,
+                        tokenizer: Optional[SmilesTokenizer] = None,
+                        batch: int = 8, max_prot_resis: int = 1022,
+                        max_drug_tokens: int = 512, seed: int = 0,
+                        dtype=jnp.float32, verbose: bool = True) -> None:
+    """Populate ``cache`` with every missing entity embedding in ``table``."""
+    # --- proteins (ESM-2) ---------------------------------------------------
+    esm_cfg = esm2_config_for_layers(n_layer)
+    esm = ESM2(esm_cfg, dtype=dtype)
+    if esm_params is None:
+        if verbose:
+            print("[embed] WARNING: no ESM-2 checkpoint given; using "
+                  "random-initialized encoder weights", file=sys.stderr)
+        esm_params = esm.init(jax.random.key(seed),
+                              jnp.zeros((1, 8), jnp.int32))["params"]
+    esm_apply = jax.jit(lambda p, t: esm.apply({"params": p}, t))
+
+    todo = [(ordn, esm_tokenize(seq, max_prot_resis))
+            for seq, ordn in table.prot2ord.items() if not cache.has_prot(ordn)]
+    n_done = 0
+    for ords, toks, lens in _batched(todo, batch, ESM_PAD):
+        reps = np.asarray(esm_apply(esm_params, jnp.asarray(toks)), np.float32)
+        for r, (ordn, ln) in enumerate(zip(ords, lens)):
+            cache.put_prot(ordn, reps[r, :ln])
+        n_done += len(ords)
+        if verbose and n_done % 64 == 0:
+            print(f"[embed] proteins {n_done}/{len(todo)}", file=sys.stderr)
+
+    # --- drugs (ChemBERTa) --------------------------------------------------
+    cb_cfg = chemberta_cfg or ChemBERTaConfig(hidden=cache.n_drug_feature)
+    if tokenizer is None:
+        tokenizer = SmilesTokenizer()
+        tokenizer.extend_from_corpus(table.drug2ord.keys())
+    if tokenizer.vocab_size > cb_cfg.vocab:
+        cb_cfg = ChemBERTaConfig(**{**cb_cfg.__dict__, "vocab": tokenizer.vocab_size})
+    cb = ChemBERTa(cb_cfg, dtype=dtype)
+    if chemberta_params is None:
+        if verbose:
+            print("[embed] WARNING: no ChemBERTa checkpoint given; using "
+                  "random-initialized encoder weights", file=sys.stderr)
+        chemberta_params = cb.init(jax.random.key(seed + 1),
+                                   jnp.ones((1, 8), jnp.int32))["params"]
+    cb_apply = jax.jit(lambda p, t: cb.apply({"params": p}, t))
+
+    todo_d = [(ordn, np.asarray(tokenizer.encode(smi, max_length=max_drug_tokens),
+                                np.int32))
+              for smi, ordn in table.drug2ord.items() if not cache.has_drug(ordn)]
+    n_done = 0
+    for ords, toks, lens in _batched(todo_d, batch, cb_cfg.pad_id):
+        reps = np.asarray(cb_apply(chemberta_params, jnp.asarray(toks)), np.float32)
+        for r, (ordn, ln) in enumerate(zip(ords, lens)):
+            cache.put_drug(ordn, reps[r, :ln])
+        n_done += len(ords)
+        if verbose and n_done % 256 == 0:
+            print(f"[embed] drugs {n_done}/{len(todo_d)}", file=sys.stderr)

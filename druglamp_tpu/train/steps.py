@@ -1,0 +1,161 @@
+"""Jitted train/eval step functions, one variant per epoch-gate combination.
+
+The reference gates SSL to every EPOCH_STEP-th epoch and CM from INIT_EPOCH
+(trainer.py:192-193); in torch that leaves unused parameters (hence
+``ddp_find_unused_parameters_true``).  The TPU-native design compiles one
+step function per (use_ssl, use_cm, calibrate) combination — gating is
+epoch-level, so at most a handful of compilations, each with *no* wasted
+FLOPs (SURVEY §5.8).
+
+Gradient semantics (config.solver.grad_mode):
+
+- ``per_loss`` (default): one shared forward, one vjp per active loss (unit
+  cotangents pick each loss's gradient out of the same linearization), each
+  optimizer applies *its own* loss's gradient.  This is the documented intent
+  of the reference's three-optimizer setup.
+- ``legacy_aliased``: reproduces the literal reference behaviour
+  (trainer.py:198-229 with torch≤1.x ``zero_grad(set_to_none=False)``):
+  each ``opt_*.zero_grad()`` wipes ALL parameters' grads, so by step time
+  every optimizer applies the gradients of the LAST computed loss (cm if
+  active, else ssl, else cls).  (One unreproducible corner: torch skips
+  params whose grad is None — params outside every loss graph receive no
+  weight decay there; here they receive zero-grad AdamW updates.)
+
+The CM loss-weight power-of-10 calibration (trainer.py:214-219) runs inside
+the jitted step via lax.while_loop during the INIT_EPOCH (calibrate=True
+variant) and is carried as a scalar in/out.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from druglamp_tpu.losses.classification import binary_cross_entropy, cross_entropy_logits
+from druglamp_tpu.train.state import TrainState, apply_optimizer
+
+
+class StepOutput(NamedTuple):
+    state: TrainState
+    cls_loss: jnp.ndarray
+    ssl_loss: jnp.ndarray
+    cm_loss: jnp.ndarray
+    probs: jnp.ndarray
+    cm_weight: jnp.ndarray
+
+
+def _cls_loss(score, labels, n_class: int):
+    if n_class == 1:
+        return binary_cross_entropy(score, labels)
+    return cross_entropy_logits(score, labels)
+
+
+def _calibrate(cm_loss, cls_loss, w):
+    """Power-of-10 weight calibration (reference trainer.py:214-219)."""
+
+    def pos(w):
+        w = jax.lax.while_loop(lambda w: cm_loss * w / 10.0 > cls_loss,
+                               lambda w: w / 10.0, w)
+        w = jax.lax.while_loop(lambda w: cm_loss * w * 10.0 < cls_loss,
+                               lambda w: w * 10.0, w)
+        return w
+
+    return jax.lax.cond(cm_loss > 0, pos, lambda w: w, w)
+
+
+def make_train_step(model, use_ssl: bool, use_cm: bool, calibrate: bool = False,
+                    grad_mode: str = "per_loss", n_class: int = 1) -> Callable:
+    """Build the jitted train step for one gate combination."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, Any], rng,
+                   lr_cls, lr_ssl, lr_cm, margin, cm_weight) -> StepOutput:
+        drop1, drop2, mlm = jax.random.split(rng, 3)
+
+        def losses_fn(params):
+            out, muts = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, rngs={"dropout": drop1},
+                mutable=["batch_stats"])
+            probs, cls_loss = _cls_loss(out["score"], batch["labels"], n_class)
+            stats = muts["batch_stats"]
+
+            ssl_loss = jnp.float32(0.0)
+            if use_ssl:
+                ssl_dict, muts2 = model.apply(
+                    {"params": params, "batch_stats": stats},
+                    out["ssl_inputs"], mlm, True,
+                    method="ssl_loss", mutable=["batch_stats"],
+                    rngs={"dropout": drop2})
+                stats = muts2["batch_stats"]
+                ssl_loss = (ssl_dict["prot_ssl"] + ssl_dict["drug_ssl"]) * 0.1
+
+            cm_raw = jnp.float32(0.0)
+            if use_cm:
+                cm_raw, muts3 = model.apply(
+                    {"params": params, "batch_stats": stats},
+                    out["cm_inputs"], batch["cm"], margin, True,
+                    method="cm_loss", mutable=["batch_stats"])
+                stats = muts3["batch_stats"]
+
+            return (cls_loss, ssl_loss, cm_raw), (stats, probs)
+
+        losses, vjp_fn, (new_stats, probs) = jax.vjp(losses_fn, state.params,
+                                                     has_aux=True)
+        cls_loss, ssl_loss, cm_raw = losses
+
+        w = _calibrate(cm_raw, cls_loss, cm_weight) if calibrate else cm_weight
+        cm_loss = cm_raw * w
+
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+        g_cls = vjp_fn((one, zero, zero))[0]
+        g_ssl = vjp_fn((zero, one, zero))[0] if use_ssl else None
+        g_cm = None
+        if use_cm:
+            g_cm = vjp_fn((zero, zero, one))[0]
+            g_cm = jax.tree.map(lambda g: g * w, g_cm)
+
+        if grad_mode == "legacy_aliased":
+            g_last = g_cm if use_cm else (g_ssl if use_ssl else g_cls)
+            g_cls = g_last
+            g_ssl = g_last if use_ssl else None
+            g_cm = g_last if use_cm else None
+
+        params, opt_cls = apply_optimizer(state.opt_cls, g_cls, state.params, lr_cls)
+        opt_ssl, opt_cm = state.opt_ssl, state.opt_cm
+        if use_ssl:
+            params, opt_ssl = apply_optimizer(state.opt_ssl, g_ssl, params, lr_ssl)
+        if use_cm:
+            params, opt_cm = apply_optimizer(state.opt_cm, g_cm, params, lr_cm)
+
+        new_state = state.replace(params=params, batch_stats=new_stats,
+                                  opt_cls=opt_cls, opt_ssl=opt_ssl,
+                                  opt_cm=opt_cm, step=state.step + 1)
+        return StepOutput(new_state, cls_loss, ssl_loss, cm_loss, probs, w)
+
+    return train_step
+
+
+def make_eval_step(model, n_class: int = 1) -> Callable:
+    """Jitted eval step: probabilities + loss over valid rows."""
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          batch, train=False)
+        probs, _ = _cls_loss(out["score"], batch["labels"], n_class)
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones_like(probs)
+        # masked mean BCE for logging
+        logits = jnp.squeeze(out["score"], -1).astype(jnp.float32)
+        labels = batch["labels"].astype(jnp.float32)
+        per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        loss = (per * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+        return probs, loss
+
+    return eval_step

@@ -1,0 +1,244 @@
+"""Experiment driver: fit → select best by val AUSum → test.
+
+Replaces the reference's fused LightningModule/Trainer (trainer.py:40-292)
+with an explicit epoch loop:
+
+- per-epoch LR from the cosine-warmup schedule; the SSL/CM schedules advance
+  only on epochs where their loss fires (reference trainer.py:243-254);
+- SSL gated to every EPOCH_STEP-th epoch, CM from INIT_EPOCH on, with the
+  one-time power-of-10 CM weight calibration at INIT_EPOCH;
+- margin decay stepped per CM epoch (cm_model.step(), trainer.py:254);
+- val AUROC/AUPRC each epoch; ModelCheckpoint-equivalent keeps the best
+  val_ausum state; EarlyStopping patience = max_epoch // 4;
+- test runs on the restored best state with the full metric suite;
+- step-level checkpoint/resume via orbax (the reference restarts from epoch 0
+  on failure — SURVEY §5.3; we persist full state every epoch instead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from druglamp_tpu.config import Config
+from druglamp_tpu.data.loader import BatchLoader
+from druglamp_tpu.eval.metrics import MetricCollector
+from druglamp_tpu.losses.schedules import MarginSchedule
+from druglamp_tpu.train.schedule import cosine_warmup_restarts_lr
+from druglamp_tpu.train.state import TrainState
+from druglamp_tpu.train.steps import make_eval_step, make_train_step
+from druglamp_tpu.utils.logging import ExperimentLogger
+
+
+class Trainer:
+    def __init__(self, model, cfg: Config, train_loader: BatchLoader,
+                 val_loader: BatchLoader, test_loader: BatchLoader,
+                 logger: Optional[ExperimentLogger] = None,
+                 work_dir: str = "results/run", shard_fn=None):
+        self.model = model
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+        self.logger = logger
+        self.work_dir = os.path.abspath(work_dir)
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.shard_fn = shard_fn or (lambda b: b)
+
+        s = cfg.solver
+        self.epochs = s.max_epoch
+        self.use_ssl = cfg.rs.ssl
+        self.use_cm = cfg.rs.cm
+        self.patience = max(1, self.epochs // 4)
+        self.n_class = cfg.decoder.binary
+        self.margin_sched = MarginSchedule(m_ori=cfg.rs.max_margin,
+                                           n_epoch=self.epochs,
+                                           n_re=cfg.rs.reset_epoch)
+
+        self._step_fns: Dict[Any, Any] = {}
+        self.eval_step = make_eval_step(model, n_class=self.n_class)
+
+        # host-side schedule counters (SSL/CM schedulers advance only on
+        # epochs where their loss computes)
+        self.ssl_sched_steps = 0
+        self.cm_sched_steps = 0
+        self.cm_weight = 1.0
+
+        self.best_ausum = -np.inf
+        self.best_epoch = -1
+        self.ckpt = ocp.PyTreeCheckpointer()
+
+    # --- plumbing -----------------------------------------------------------
+
+    def _get_step_fn(self, compute_ssl: bool, compute_cm: bool, calibrate: bool):
+        key = (compute_ssl, compute_cm, calibrate)
+        if key not in self._step_fns:
+            self._step_fns[key] = make_train_step(
+                self.model, use_ssl=compute_ssl, use_cm=compute_cm,
+                calibrate=calibrate, grad_mode=self.cfg.solver.grad_mode,
+                n_class=self.n_class)
+        return self._step_fns[key]
+
+    def _lr(self, base_lr: float, sched_step: int) -> float:
+        return cosine_warmup_restarts_lr(
+            sched_step, first_cycle_steps=self.epochs, max_lr=base_lr,
+            min_lr=1e-8, warmup_steps=int(self.epochs * 0.2))
+
+    def init_state(self, example_batch, seed: int) -> TrainState:
+        variables = self.model.init(
+            {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
+            jax.tree.map(jnp.asarray, example_batch), jax.random.key(seed + 2),
+            method="init_all")
+        return TrainState.create(variables, self.use_ssl, self.use_cm)
+
+    # --- fit / evaluate -----------------------------------------------------
+
+    def fit(self, state: TrainState, seed: int) -> TrainState:
+        rng = jax.random.key(seed + 777)
+        epochs_no_improve = 0
+        best_path = os.path.join(self.work_dir, "ckpt_best")
+
+        for epoch in range(1, self.epochs + 1):
+            cur = epoch  # 1-based like the reference's cur_epoch
+            compute_ssl = self.use_ssl and (cur % self.cfg.rs.epoch_step == 0)
+            compute_cm = self.use_cm and (cur >= self.cfg.rs.init_epoch)
+            calibrate = compute_cm and (cur == self.cfg.rs.init_epoch)
+
+            lr_cls = self._lr(self.cfg.solver.lr, epoch - 1)
+            lr_ssl = self._lr(self.cfg.solver.ssl_lr, self.ssl_sched_steps)
+            lr_cm = self._lr(self.cfg.solver.cm_lr, self.cm_sched_steps)
+            margin = self.margin_sched.margin
+
+            step_fn = self._get_step_fn(compute_ssl, compute_cm, calibrate)
+            t0 = time.time()
+            cls_sum = ssl_sum = cm_sum = 0.0
+            n_batches = 0
+            for batch in self.train_loader.epoch(epoch):
+                rng, step_rng = jax.random.split(rng)
+                out = step_fn(state, self.shard_fn(batch), step_rng,
+                              jnp.float32(lr_cls), jnp.float32(lr_ssl),
+                              jnp.float32(lr_cm), jnp.float32(margin),
+                              jnp.float32(self.cm_weight))
+                state = out.state
+                cls_sum += float(out.cls_loss)
+                ssl_sum += float(out.ssl_loss)
+                cm_sum += float(out.cm_loss)
+                if calibrate:
+                    self.cm_weight = float(out.cm_weight)
+                n_batches += 1
+
+            # epoch-end scheduler/margin stepping (reference trainer.py:243-254)
+            if compute_ssl:
+                self.ssl_sched_steps += 1
+            if compute_cm:
+                self.cm_sched_steps += 1
+                self.margin_sched.step()
+
+            train_metrics = {"train_loss": cls_sum / max(n_batches, 1),
+                             "lr": lr_cls,
+                             "epoch_time_s": time.time() - t0,
+                             "pairs_per_s": n_batches * self.train_loader.batch_size
+                             / max(time.time() - t0, 1e-9)}
+            if compute_ssl:
+                train_metrics["ssl_loss"] = ssl_sum / max(n_batches, 1)
+            if compute_cm:
+                train_metrics["cm_loss"] = cm_sum / max(n_batches, 1)
+                train_metrics["cm_weight"] = self.cm_weight
+                train_metrics["margin"] = margin
+
+            val_metrics = self.evaluate(state, self.val_loader, full=False)
+            if self.logger:
+                self.logger.log_metrics({**train_metrics,
+                                         **{f"val_{k}": v for k, v in val_metrics.items()}},
+                                        epoch=epoch)
+
+            ausum = val_metrics["ausum"]
+            if np.isfinite(ausum) and ausum > self.best_ausum:
+                self.best_ausum = ausum
+                self.best_epoch = epoch
+                epochs_no_improve = 0
+                self._save(best_path, state)
+            else:
+                epochs_no_improve += 1
+            if epochs_no_improve >= self.patience:
+                if self.logger:
+                    self.logger.log_dict({"event": "early_stop", "epoch": epoch,
+                                          "best_epoch": self.best_epoch})
+                break
+        return state
+
+    def evaluate(self, state: TrainState, loader: BatchLoader, full: bool) -> Dict[str, float]:
+        collector = MetricCollector()
+        losses = []
+        for batch in loader.epoch(0):
+            jb = self.shard_fn(batch)
+            probs, loss = self.eval_step(state.params, state.batch_stats, jb)
+            valid = batch["valid"].astype(bool)
+            collector.update(np.asarray(probs)[valid], batch["labels"][valid])
+            losses.append(float(loss))
+        m = collector.compute(full=full)
+        m["loss"] = float(np.mean(losses)) if losses else float("nan")
+        return m
+
+    def run_experiment(self, example_batch, seed: int) -> Dict[str, float]:
+        """fit → restore best → test (reference ExpModule.run_experiment)."""
+        state = self.init_state(example_batch, seed)
+        state = self.fit(state, seed)
+        best = self.restore(os.path.join(self.work_dir, "ckpt_best"), state)
+        test_metrics = self.evaluate(best, self.test_loader, full=True)
+        if self.logger:
+            self.logger.log_metrics({f"test_{k}": v for k, v in test_metrics.items()})
+            self.logger.log_dict({"event": "done", "best_epoch": self.best_epoch,
+                                  "best_val_ausum": float(self.best_ausum)})
+        return test_metrics
+
+    # --- checkpointing ------------------------------------------------------
+
+    def _save(self, path: str, state: TrainState) -> None:
+        payload = {"state": dataclasses.asdict(state) if dataclasses.is_dataclass(state)
+                   else state,
+                   "host": {"cm_weight": self.cm_weight,
+                            "ssl_sched_steps": self.ssl_sched_steps,
+                            "cm_sched_steps": self.cm_sched_steps,
+                            "margin": self.margin_sched.state_dict()}}
+        self.ckpt.save(path, {"state": jax.tree.map(np.asarray, _as_dict(state)),
+                              "host": payload["host"]}, force=True)
+
+    def restore(self, path: str, like: TrainState) -> TrainState:
+        if not os.path.exists(path):
+            return like
+        restored = self.ckpt.restore(path)
+        tree = restored["state"]
+        host = restored.get("host", {})
+        self.cm_weight = float(host.get("cm_weight", self.cm_weight))
+        self.ssl_sched_steps = int(host.get("ssl_sched_steps", self.ssl_sched_steps))
+        self.cm_sched_steps = int(host.get("cm_sched_steps", self.cm_sched_steps))
+        if "margin" in host:
+            self.margin_sched.load_state_dict(host["margin"])
+        return TrainState(
+            params=tree["params"], batch_stats=tree["batch_stats"],
+            opt_cls=_restore_like(like.opt_cls, tree.get("opt_cls")),
+            opt_ssl=_restore_like(like.opt_ssl, tree.get("opt_ssl")),
+            opt_cm=_restore_like(like.opt_cm, tree.get("opt_cm")),
+            step=jnp.asarray(tree["step"]))
+
+
+def _as_dict(state: TrainState) -> Dict[str, Any]:
+    return {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_cls": state.opt_cls, "opt_ssl": state.opt_ssl,
+            "opt_cm": state.opt_cm, "step": state.step}
+
+
+def _restore_like(template, tree):
+    if template is None or tree is None:
+        return template
+    leaves = jax.tree.leaves(tree)
+    treedef = jax.tree.structure(template)
+    return jax.tree.unflatten(treedef, leaves)

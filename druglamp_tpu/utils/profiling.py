@@ -1,0 +1,56 @@
+"""Profiling / tracing hooks.
+
+The reference has no profiling beyond wall-clock prints (SURVEY §5.1).  Here
+tracing is first-class: ``trace()`` wraps a region in a jax.profiler trace
+(viewable in XProf/TensorBoard), and ``StepTimer`` tracks per-step latency
+with jitted-step-aware synchronization.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, List, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a device trace for the enclosed region."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Wall-clock step timing with percentile summary."""
+
+    def __init__(self, sync_tree=None):
+        self._times: List[float] = []
+        self._t0: Optional[float] = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, result=None):
+        if result is not None:
+            jax.block_until_ready(result)
+        assert self._t0 is not None
+        self._times.append(time.perf_counter() - self._t0)
+        self._t0 = None
+
+    def summary(self) -> Dict[str, float]:
+        if not self._times:
+            return {}
+        ts = sorted(self._times)
+        n = len(ts)
+        return {
+            "steps": n,
+            "mean_ms": 1000 * sum(ts) / n,
+            "p50_ms": 1000 * ts[n // 2],
+            "p90_ms": 1000 * ts[min(n - 1, int(0.9 * n))],
+            "max_ms": 1000 * ts[-1],
+        }

@@ -1,0 +1,111 @@
+"""Data pipeline tests: entity tables, batch assembly, CM arrays, loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from druglamp_tpu.data.cache import EmbeddingCache, ZeroEmbeddings
+from druglamp_tpu.data.dataset import DTIDataset, build_entity_table
+from druglamp_tpu.data.loader import BatchLoader, build_cm_arrays
+
+DATA_ROOT = "/root/reference/datasets"
+pytestmark = pytest.mark.skipif(not os.path.isdir(DATA_ROOT),
+                                reason="reference datasets not mounted")
+
+
+@pytest.fixture(scope="module")
+def human_val():
+    return DTIDataset(DATA_ROOT, "human", "random", "val.csv",
+                      max_nodes=512, seq_len=2304, cutoff=64)
+
+
+def test_dataset_basics(human_val):
+    ds = human_val
+    assert len(ds) == 64
+    assert ds.table.n_drug > 0 and ds.table.n_prot > 0
+    rec = ds.table.drugs[int(ds.drug_ords[0])]
+    assert rec.node_feats.shape[1] == 74
+    assert rec.n_atoms <= 512
+    prec = ds.table.prots[int(ds.prot_ords[0])]
+    assert prec.codes.shape == (2304,)
+    assert 0 < prec.fill_start <= 2304
+
+
+def test_batch_assembly(human_val):
+    loader = BatchLoader(human_val, batch_size=8, shuffle=False, drop_last=True,
+                         prefetch=0)
+    batch = next(loader.epoch(0))
+    assert batch["drug_node_feats"].shape == (8, 512, 75)
+    assert batch["drug_adj"].shape == (8, 512, 512)
+    assert batch["vp"].shape == (8, 2304)
+    assert batch["valid"].sum() == 8
+    # adjacency: diag is 2 on real atoms / 1 on virtual; symmetric
+    for b in range(8):
+        rec = human_val.table.drugs[int(human_val.drug_ords[b])]
+        d = np.diag(batch["drug_adj"][b])
+        assert np.all(d[: rec.n_atoms] == 2)
+        assert np.all(d[rec.n_atoms :] == 1)
+        assert np.array_equal(batch["drug_adj"][b], batch["drug_adj"][b].T)
+        assert np.array_equal(batch["drug_degrees"][b], batch["drug_adj"][b].sum(1))
+    # zero embeddings → d_fill all ones, xp zeros
+    assert np.all(batch["d_fill"] == 1.0)
+    assert np.all(batch["xp"] == 0.0)
+
+
+def test_ragged_tail_padding(human_val):
+    loader = BatchLoader(human_val, batch_size=48, shuffle=False, drop_last=False,
+                         prefetch=0)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    assert batches[1]["valid"].sum() == 64 - 48
+    assert batches[1]["drug_node_feats"].shape[0] == 48
+
+
+def test_shuffle_deterministic(human_val):
+    l1 = BatchLoader(human_val, 8, shuffle=True, drop_last=True, seed=5, prefetch=0)
+    l2 = BatchLoader(human_val, 8, shuffle=True, drop_last=True, seed=5, prefetch=0)
+    b1 = next(l1.epoch(3))
+    b2 = next(l2.epoch(3))
+    assert np.array_equal(b1["labels"], b2["labels"])
+    b3 = next(l1.epoch(4))
+    assert not np.array_equal(b1["vp"], b3["vp"])
+
+
+def test_prefetch_matches_sync(human_val):
+    ls = BatchLoader(human_val, 8, shuffle=False, drop_last=True, prefetch=0)
+    lp = BatchLoader(human_val, 8, shuffle=False, drop_last=True, prefetch=2)
+    for bs, bp in zip(ls.epoch(0), lp.epoch(0)):
+        assert np.array_equal(bs["vp"], bp["vp"])
+        assert np.array_equal(bs["drug_adj"], bp["drug_adj"])
+
+
+def test_cm_arrays_semantics():
+    prot_ids = np.array([7, 7, 9, 9])
+    drug_ids = np.array([1, 2, 1, 3])
+    labels = np.array([1.0, 0.0, 0.0, 1.0])
+    cm = build_cm_arrays(prot_ids, drug_ids, labels)
+    # unique prots: 7 (slot 0, last occurrence t=1), 9 (slot 1, t=3)
+    assert cm["p_valid"].tolist() == [True, True, False, False]
+    assert cm["p_index"][0] == 1 and cm["p_index"][1] == 3
+    # unique drugs: 1 (t=2), 2 (t=1), 3 (t=3)
+    assert cm["d_valid"].tolist() == [True, True, True, False]
+    assert cm["d_index"][:3].tolist() == [2, 1, 3]
+    # gt: observed pairs take Y, unobserved valid pairs are 0, padding is -1
+    assert cm["gt"][0, 0] == 1.0 and cm["gt"][0, 1] == 0.0
+    assert cm["gt"][1, 0] == 0.0 and cm["gt"][1, 2] == 1.0
+    assert cm["gt"][0, 2] == 0.0  # unobserved (7,3) counted negative
+    assert np.all(cm["gt"][3, :] == -1.0)
+    assert np.all(cm["gt"][:, 3] == -1.0)
+
+
+def test_embedding_cache_roundtrip(tmp_path):
+    cache = EmbeddingCache(str(tmp_path), "human", 384, 640)
+    emb = np.random.rand(17, 384).astype(np.float32)
+    cache.put_drug(3, emb)
+    assert cache.has_drug(3)
+    assert np.allclose(cache.drug(3), emb)
+    pe = np.random.rand(100, 640).astype(np.float32)
+    cache.put_prot(5, pe)
+    assert np.allclose(cache.prot(5), pe)
+    assert not cache.has_drug(4)

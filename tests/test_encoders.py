@@ -1,0 +1,141 @@
+"""Frozen-encoder numerics: Flax ESM-2 / ChemBERTa vs HF torch reference.
+
+transformers is installed (no network needed): instantiate small random HF
+models, convert their weights, and compare outputs elementwise.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from druglamp_tpu.encoders.chemberta import ChemBERTa, ChemBERTaConfig
+from druglamp_tpu.encoders.convert import chemberta_params_from_torch, esm2_params_from_torch
+from druglamp_tpu.encoders.esm2 import ESM2, ESM2Config, ESM_PAD, esm_tokenize
+
+
+@pytest.fixture(scope="module")
+def hf_esm():
+    cfg = transformers.EsmConfig(
+        vocab_size=33, mask_token_id=32, pad_token_id=1,
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=256, position_embedding_type="rotary",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        emb_layer_norm_before=False, token_dropout=True,
+        layer_norm_eps=1e-5, max_position_embeddings=128)
+    torch.manual_seed(0)
+    model = transformers.EsmModel(cfg, add_pooling_layer=False).eval()
+    return model
+
+
+def test_esm2_matches_hf(hf_esm):
+    tokens = np.array([
+        esm_tokenize("MKTAYIAK", None).tolist() + [ESM_PAD] * 2,
+        esm_tokenize("LAGVSERTIDPK", None).tolist()[:12],
+    ], dtype=np.int32)
+    attn_mask = (tokens != ESM_PAD).astype(np.int64)
+    with torch.no_grad():
+        ref = hf_esm(input_ids=torch.tensor(tokens.astype(np.int64)),
+                     attention_mask=torch.tensor(attn_mask)).last_hidden_state.numpy()
+
+    cfg = ESM2Config(num_layers=2, embed_dim=64, num_heads=4, ffn_dim=256)
+    model = ESM2(cfg)
+    params = esm2_params_from_torch(hf_esm.state_dict(), num_layers=2)
+    out = np.asarray(model.apply({"params": params}, jnp.asarray(tokens)))
+
+    valid = attn_mask.astype(bool)
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=2e-4, atol=2e-5)
+
+
+def test_esm2_jit_and_batch_invariance(hf_esm):
+    cfg = ESM2Config(num_layers=2, embed_dim=64, num_heads=4, ffn_dim=256)
+    model = ESM2(cfg)
+    params = esm2_params_from_torch(hf_esm.state_dict(), num_layers=2)
+    t1 = np.array([esm_tokenize("MKTAYIAK")], np.int32)
+    # same sequence padded into a longer buffer → same values on real rows
+    t2 = np.full((1, 16), ESM_PAD, np.int32)
+    t2[0, :10] = t1[0]
+    f = jax.jit(lambda t: model.apply({"params": params}, t))
+    o1 = np.asarray(f(jnp.asarray(t1)))
+    o2 = np.asarray(f(jnp.asarray(t2)))
+    np.testing.assert_allclose(o1[0], o2[0, :10], rtol=2e-4, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def hf_roberta():
+    cfg = transformers.RobertaConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, pad_token_id=1, type_vocab_size=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12)
+    torch.manual_seed(1)
+    return transformers.RobertaModel(cfg, add_pooling_layer=False).eval()
+
+
+def test_chemberta_matches_hf(hf_roberta):
+    tokens = np.array([[0, 10, 11, 12, 2, 1, 1, 1],
+                       [0, 20, 21, 22, 23, 24, 25, 2]], dtype=np.int32)
+    attn = (tokens != 1).astype(np.int64)
+    with torch.no_grad():
+        ref = hf_roberta(input_ids=torch.tensor(tokens.astype(np.int64)),
+                         attention_mask=torch.tensor(attn)).last_hidden_state.numpy()
+
+    cfg = ChemBERTaConfig(vocab=100, hidden=32, num_layers=2, num_heads=4,
+                          intermediate=64, max_positions=40, pad_id=1)
+    model = ChemBERTa(cfg)
+    params = chemberta_params_from_torch(hf_roberta.state_dict(), num_layers=2)
+    out = np.asarray(model.apply({"params": params}, jnp.asarray(tokens)))
+    valid = attn.astype(bool)
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=2e-4, atol=2e-5)
+
+
+def test_embed_pipeline_smoke(tmp_path):
+    """End-to-end cache generation with tiny random encoders."""
+    from druglamp_tpu.data.cache import EmbeddingCache
+    from druglamp_tpu.data.dataset import EntityTable, featurize_drug, featurize_prot
+    from druglamp_tpu.encoders import embed_pipeline
+
+    # tiny ESM config so the random encoder is fast
+    embed_pipeline_sizes = embed_pipeline.esm2_config_for_layers
+    table = EntityTable()
+    for i, smi in enumerate(["CCO", "c1ccccc1", "CCN"]):
+        table.drug2ord[smi] = i
+        table.drugs[i] = featurize_drug(smi, i, 64)
+    for i, seq in enumerate(["MKTAYIAK", "LAGVSERTID"]):
+        table.prot2ord[seq] = i
+        table.prots[i] = featurize_prot(seq, i, 1022, 288)
+
+    cache = EmbeddingCache(str(tmp_path), "toy", n_drug_feature=32, n_prot_feature=64)
+    import druglamp_tpu.encoders.esm2 as esm2_mod
+
+    cfg_small = {12: esm2_mod.ESM2Config(num_layers=1, embed_dim=64, num_heads=4,
+                                         ffn_dim=64)}
+    orig = esm2_mod._ESM2_SIZES
+    try:
+        embed_pipeline._BUCKETS = (16, 32, 64)
+        esm2_mod._ESM2_SIZES = {**orig, **cfg_small}
+        from druglamp_tpu.encoders.chemberta import ChemBERTaConfig
+
+        embed_pipeline.generate_embeddings(
+            table, cache, n_layer=12,
+            chemberta_cfg=ChemBERTaConfig(vocab=64, hidden=32, num_layers=1,
+                                          num_heads=4, intermediate=32,
+                                          max_positions=64),
+            batch=2, verbose=False)
+    finally:
+        esm2_mod._ESM2_SIZES = orig
+
+    for i in range(3):
+        emb = cache.drug(i)
+        assert emb.shape[1] == 32
+        assert emb.shape[0] >= 3  # CLS + tokens + SEP
+        assert np.isfinite(emb).all()
+    for i, seq in enumerate(["MKTAYIAK", "LAGVSERTID"]):
+        emb = cache.prot(i)
+        assert emb.shape == (len(seq) + 2, 64)
+        assert np.isfinite(emb).all()

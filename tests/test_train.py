@@ -1,0 +1,189 @@
+"""Training loop tests: schedule, step functions, mini end-to-end fit."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from druglamp_tpu.config import RSConfig, SolverConfig
+from druglamp_tpu.data.dataset import DTIDataset
+from druglamp_tpu.data.loader import BatchLoader
+from druglamp_tpu.models.registry import build_model
+from druglamp_tpu.train.schedule import cosine_warmup_restarts_lr
+from druglamp_tpu.train.state import TrainState
+from druglamp_tpu.train.steps import make_eval_step, make_train_step
+from druglamp_tpu.train.trainer import Trainer
+from druglamp_tpu.utils.logging import ExperimentLogger
+from tests.util import make_batch, tiny_config
+
+
+def test_schedule_values():
+    # warmup: linear from min_lr to max_lr over warmup epochs
+    max_lr, min_lr, W, E = 1e-4, 1e-8, 20, 100
+    f = lambda e: cosine_warmup_restarts_lr(e, E, max_lr, min_lr, W)
+    assert f(0) == pytest.approx(min_lr)
+    assert f(10) == pytest.approx((max_lr - min_lr) * 10 / 20 + min_lr)
+    assert f(20) == pytest.approx(max_lr)
+    # cosine end of cycle back to ~min
+    assert f(99) < f(60) < f(20)
+    assert f(99) == pytest.approx(min_lr + (max_lr - min_lr) *
+                                  (1 + math.cos(math.pi * 79 / 80)) / 2)
+    # restart
+    assert f(100) == pytest.approx(f(0))
+    assert f(120) == pytest.approx(f(20))
+
+
+def _make_csv_dataset(tmp_path, n=24):
+    smis = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "C1CCCCC1", "c1ccncc1"]
+    prots = ["MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ",
+             "MSEQNNTEMTFQIQRIYTKDIS",
+             "MAHHHHHHVGTGSNG"]
+    import csv
+    d = tmp_path / "toy" / "random"
+    os.makedirs(d, exist_ok=True)
+    rows = []
+    r = np.random.RandomState(0)
+    for i in range(n):
+        rows.append({"SMILES": smis[i % len(smis)],
+                     "Protein": prots[i % len(prots)],
+                     "Y": int(r.rand() < 0.5)})
+    for name, sl in [("train.csv", slice(0, n)), ("val.csv", slice(0, 12)),
+                     ("test.csv", slice(12, 24))]:
+        with open(d / name, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["SMILES", "Protein", "Y"])
+            w.writeheader()
+            for row in rows[sl]:
+                w.writerow(row)
+    return str(tmp_path)
+
+
+def _loaders(root, cfg, bs=4):
+    kw = dict(max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
+              max_prot_resis=cfg.protein.max_resis)
+    train = DTIDataset(root, "toy", "random", "train.csv", **kw)
+    val = DTIDataset(root, "toy", "random", "val.csv", table=train.table, **kw)
+    test = DTIDataset(root, "toy", "random", "test.csv", table=train.table, **kw)
+    from druglamp_tpu.data.cache import ZeroEmbeddings
+
+    emb = ZeroEmbeddings(24, 40)
+    mk = lambda ds, sh, dl: BatchLoader(ds, bs, shuffle=sh, drop_last=dl,
+                                        embeddings=emb, prefetch=0)
+    return mk(train, True, True), mk(val, False, False), mk(test, False, False)
+
+
+def _tiny_training_cfg(**rs):
+    return tiny_config(
+        solver=SolverConfig(max_epoch=4, batch_size=4, lr=1e-3, ssl_lr=3e-4,
+                            cm_lr=1e-4, seed=1, compute_dtype="float32"),
+        rs=RSConfig(ssl=rs.get("ssl", False), cm=rs.get("cm", False),
+                    init_epoch=2, epoch_step=2, max_margin=0.5, reset_epoch=10),
+    )
+
+
+def test_train_step_decreases_loss():
+    cfg = _tiny_training_cfg()
+    model = build_model("DrugLAMPwoLLM", cfg, 24, 40)
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, 4, n_drug_feature=24,
+                                                 n_prot_feature=40))
+    from druglamp_tpu.data.loader import build_cm_arrays
+
+    batch["cm"] = jax.tree.map(jnp.asarray, build_cm_arrays(
+        np.arange(4), np.arange(4), np.asarray(batch["labels"])))
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                           batch, jax.random.key(2), method="init_all")
+    state = TrainState.create(variables, use_ssl=False, use_cm=False)
+    step = make_train_step(model, use_ssl=False, use_cm=False)
+    rng = jax.random.key(3)
+    losses = []
+    for i in range(8):
+        rng, k = jax.random.split(rng)
+        out = step(state, batch, k, jnp.float32(1e-2), jnp.float32(0.0),
+                   jnp.float32(0.0), jnp.float32(0.5), jnp.float32(1.0))
+        state = out.state
+        losses.append(float(out.cls_loss))
+    assert losses[-1] < losses[0]  # overfits a single batch
+
+
+def test_train_step_ssl_cm_variants_and_calibration():
+    cfg = _tiny_training_cfg(ssl=True, cm=True)
+    model = build_model("DrugLAMP2C2P", cfg, 24, 40)
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, 4, n_drug_feature=24,
+                                                 n_prot_feature=40))
+    from druglamp_tpu.data.loader import build_cm_arrays
+
+    cm = build_cm_arrays(np.array([0, 0, 1, 1]), np.array([0, 1, 0, 2]),
+                         np.array([1.0, 0.0, 0.0, 1.0]))
+    batch["cm"] = jax.tree.map(jnp.asarray, cm)
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                           batch, jax.random.key(2), method="init_all")
+    state = TrainState.create(variables, use_ssl=True, use_cm=True)
+    step = make_train_step(model, use_ssl=True, use_cm=True, calibrate=True)
+    out = step(state, batch, jax.random.key(3), jnp.float32(1e-3),
+               jnp.float32(3e-4), jnp.float32(1e-4), jnp.float32(0.5),
+               jnp.float32(1.0))
+    assert np.isfinite(float(out.cls_loss))
+    assert np.isfinite(float(out.ssl_loss)) and float(out.ssl_loss) > 0
+    assert np.isfinite(float(out.cm_loss))
+    w = float(out.cm_weight)
+    cm_raw = float(out.cm_loss) / w if w else 0.0
+    cls = float(out.cls_loss)
+    if cm_raw > 0:
+        # calibrated weight puts cm*w within [cls/10, 10*cls]
+        assert cm_raw * w <= 10 * cls + 1e-6
+        assert cm_raw * w >= cls / 10 - 1e-6
+
+
+def test_legacy_aliased_mode_runs():
+    cfg = _tiny_training_cfg(ssl=True)
+    model = build_model("DrugLAMPwoLLM", cfg, 24, 40)
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, 4, n_drug_feature=24,
+                                                 n_prot_feature=40))
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                           batch, jax.random.key(2), method="init_all")
+    state = TrainState.create(variables, use_ssl=True, use_cm=False)
+    step = make_train_step(model, use_ssl=True, use_cm=False,
+                           grad_mode="legacy_aliased")
+    out = step(state, batch, jax.random.key(3), jnp.float32(1e-3),
+               jnp.float32(3e-4), jnp.float32(0.0), jnp.float32(0.5),
+               jnp.float32(1.0))
+    assert np.isfinite(float(out.cls_loss))
+
+
+def test_trainer_end_to_end(tmp_path):
+    root = _make_csv_dataset(tmp_path)
+    cfg = _tiny_training_cfg(ssl=True)
+    train_l, val_l, test_l = _loaders(root, cfg)
+    model = build_model("DrugLAMPwoLLM", cfg, 24, 40)
+    logger = ExperimentLogger(str(tmp_path / "results"), "toy-test", quiet=True)
+    tr = Trainer(model, cfg, train_l, val_l, test_l, logger=logger,
+                 work_dir=str(tmp_path / "work"))
+    example = next(train_l.epoch(0))
+    metrics = tr.run_experiment(example, seed=1)
+    assert set(metrics) >= {"auroc", "auprc", "ausum", "acc", "sn", "sp", "f1", "pr"}
+    assert np.isfinite(metrics["acc"])
+    assert tr.best_epoch >= 1
+    assert os.path.exists(tmp_path / "work" / "ckpt_best")
+    # metrics.jsonl written
+    assert os.path.getsize(logger.jsonl_path) > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    root = _make_csv_dataset(tmp_path)
+    cfg = _tiny_training_cfg()
+    train_l, val_l, test_l = _loaders(root, cfg)
+    model = build_model("DrugLAMPwoLLM", cfg, 24, 40)
+    tr = Trainer(model, cfg, train_l, val_l, test_l, work_dir=str(tmp_path / "w2"))
+    example = next(train_l.epoch(0))
+    state = tr.init_state(example, seed=3)
+    tr._save(str(tmp_path / "w2" / "ckpt"), state)
+    restored = tr.restore(str(tmp_path / "w2" / "ckpt"), state)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    s1 = make_eval_step(model)(state.params, state.batch_stats,
+                               jax.tree.map(jnp.asarray, example))[0]
+    s2 = make_eval_step(model)(restored.params, restored.batch_stats,
+                               jax.tree.map(jnp.asarray, example))[0]
+    assert np.allclose(np.asarray(s1), np.asarray(s2))
