@@ -43,6 +43,8 @@ class DrugLAMPBase(nn.Module):
     n_hidden: int = 128
     config: Config = Config()
     compute_dtype: Any = jnp.float32
+    vis: bool = False                 # return PMMA attention maps (eval/vis)
+    pmma_variant: str = "pmma"        # or 'linattn' (LinAttnEncoder alternative)
 
     def setup(self):
         cfg = self.config
@@ -78,17 +80,20 @@ class DrugLAMPBase(nn.Module):
         pmma_cfg = cfg.pmma
         self.v_gca = GuidedCrossAttention(embed_dim=nh, num_heads=1, dtype=self.compute_dtype)
         self.v_mhla = MultiHeadLinearAttention(d_model=2 * nh, d_diff=8 * nh, nhead=8,
-                                               dropout=pmma_cfg.mlha_dropout, activation="gelu")
+                                               dropout=pmma_cfg.mlha_dropout,
+                                               activation="gelu", dtype=self.compute_dtype)
         self.v_gca_norm = nn.LayerNorm(epsilon=1e-5, name="v_gca_norm")
         self.x_gca = GuidedCrossAttention(embed_dim=nh, num_heads=1, dtype=self.compute_dtype)
         self.x_mhla = MultiHeadLinearAttention(d_model=2 * nh, d_diff=8 * nh, nhead=8,
-                                               dropout=pmma_cfg.mlha_dropout, activation="gelu")
+                                               dropout=pmma_cfg.mlha_dropout,
+                                               activation="gelu", dtype=self.compute_dtype)
         self.x_gca_norm = nn.LayerNorm(epsilon=1e-5, name="x_gca_norm")
 
         self.pmma = PairedMultimodalAttention(
             hidden_size=pmma_cfg.hidden_size, num_heads=pmma_cfg.num_heads,
             num_layers=pmma_cfg.num_layers, feat_len=pmma_cfg.feat_len,
-            mol_len=pmma_cfg.mol_len, dropout_rate=pmma_cfg.dropout_rate)
+            mol_len=pmma_cfg.mol_len, dropout_rate=pmma_cfg.dropout_rate,
+            dtype=self.compute_dtype, vis=self.vis, variant=self.pmma_variant)
 
         dec = cfg.decoder
         self.mlp_classifier = MLPClassifier(in_dim=dec.in_dim * 2,

@@ -35,11 +35,11 @@ class MultiHeadLinearAttention(nn.Module):
     def __call__(self, v, train: bool = False):
         act = {"tanh": jnp.tanh, "relu": nn.relu,
                "gelu": lambda x: jax.nn.gelu(x, approximate=False)}[self.activation]
-        attn = act(TorchDense(self.d_diff, name="lin1")(v))
+        attn = act(TorchDense(self.d_diff, dtype=self.dtype, name="lin1")(v))
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        attn = TorchDense(self.nhead, name="lin2")(attn)
+        attn = TorchDense(self.nhead, dtype=self.dtype, name="lin2")(attn)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        attn = jax.nn.softmax(attn, axis=1)          # softmax over sequence
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=1).astype(v.dtype)  # softmax over sequence (fp32)
         attn = attn.transpose(0, 2, 1)               # (B, H, L)
 
         B, L, E = v.shape

@@ -24,7 +24,7 @@ K/V load and never materialize probabilities in HBM) with a jnp fallback.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -44,15 +44,16 @@ class Mlp(nn.Module):
 
     hidden_size: int
     dropout_rate: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Dense(self.hidden_size * 4, kernel_init=inits.xavier_uniform,
-                     bias_init=inits.tiny_normal(), name="fc1")(x)
+                     bias_init=inits.tiny_normal(), dtype=self.dtype, name="fc1")(x)
         x = _gelu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(self.hidden_size, kernel_init=inits.xavier_uniform,
-                     bias_init=inits.tiny_normal(), name="fc2")(x)
+                     bias_init=inits.tiny_normal(), dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return x
 
@@ -73,30 +74,32 @@ class PairedAttention(nn.Module):
     hidden_size: int
     num_heads: int = 4
     vis: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, prot, mol):
         H = self.num_heads
-        q_p = _split_heads(TorchDense(self.hidden_size, name="query")(prot), H)
-        k_p = _split_heads(TorchDense(self.hidden_size, name="key")(prot), H)
-        v_p = _split_heads(TorchDense(self.hidden_size, name="value")(prot), H)
-        q_m = _split_heads(TorchDense(self.hidden_size, name="query_mol")(mol), H)
-        k_m = _split_heads(TorchDense(self.hidden_size, name="key_mol")(mol), H)
-        v_m = _split_heads(TorchDense(self.hidden_size, name="value_mol")(mol), H)
+        dense = lambda name: TorchDense(self.hidden_size, dtype=self.dtype, name=name)
+        q_p = _split_heads(dense("query")(prot), H)
+        k_p = _split_heads(dense("key")(prot), H)
+        v_p = _split_heads(dense("value")(prot), H)
+        q_m = _split_heads(dense("query_mol")(mol), H)
+        k_m = _split_heads(dense("key_mol")(mol), H)
+        v_m = _split_heads(dense("value_mol")(mol), H)
 
         # prot stream: self(q_p against prot K/V) + guided(q_m against prot K/V)
         self_p, guided_p, w_p, gw_p = paired_attention_core(q_p, k_p, v_p, q_m,
                                                             need_weights=self.vis)
         attn_prot = jnp.concatenate([_merge_heads(self_p), _merge_heads(guided_p)], axis=-1)
-        attn_prot = TorchDense(self.hidden_size, name="fc")(attn_prot)
-        attn_prot = TorchDense(self.hidden_size, name="out")(attn_prot)
+        attn_prot = TorchDense(self.hidden_size, dtype=self.dtype, name="fc")(attn_prot)
+        attn_prot = TorchDense(self.hidden_size, dtype=self.dtype, name="out")(attn_prot)
 
         # mol stream: self(q_m against mol K/V) + guided(q_p against mol K/V)
         self_m, guided_m, _, _ = paired_attention_core(q_m, k_m, v_m, q_p,
                                                        need_weights=False)
         attn_mol = jnp.concatenate([_merge_heads(self_m), _merge_heads(guided_m)], axis=-1)
-        attn_mol = TorchDense(self.hidden_size, name="fc_mol")(attn_mol)
-        attn_mol = TorchDense(self.hidden_size, name="out_mol")(attn_mol)
+        attn_mol = TorchDense(self.hidden_size, dtype=self.dtype, name="fc_mol")(attn_mol)
+        attn_mol = TorchDense(self.hidden_size, dtype=self.dtype, name="out_mol")(attn_mol)
         return attn_prot, attn_mol, w_p, gw_p
 
 
@@ -106,15 +109,17 @@ class SelfAttention(nn.Module):
     hidden_size: int
     num_heads: int = 4
     vis: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         H = self.num_heads
-        q = _split_heads(TorchDense(self.hidden_size, name="query")(x), H)
-        k = _split_heads(TorchDense(self.hidden_size, name="key")(x), H)
-        v = _split_heads(TorchDense(self.hidden_size, name="value")(x), H)
+        dense = lambda name: TorchDense(self.hidden_size, dtype=self.dtype, name=name)
+        q = _split_heads(dense("query")(x), H)
+        k = _split_heads(dense("key")(x), H)
+        v = _split_heads(dense("value")(x), H)
         out, w = self_attention_core(q, k, v, need_weights=self.vis)
-        out = TorchDense(self.hidden_size, name="out")(_merge_heads(out))
+        out = TorchDense(self.hidden_size, dtype=self.dtype, name="out")(_merge_heads(out))
         return out, w
 
 
@@ -124,6 +129,7 @@ class PMMABlock(nn.Module):
     mm: bool = False
     dropout_rate: float = 0.1
     vis: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, prot, mol=None, train: bool = False):
@@ -131,24 +137,25 @@ class PMMABlock(nn.Module):
         if not self.mm:
             h = prot
             x, w = SelfAttention(self.hidden_size, self.num_heads, self.vis,
-                                 name="attn")(ln("attention_norm")(prot))
+                                 dtype=self.dtype, name="attn")(
+                ln("attention_norm")(prot))
             x = x + h
             h = x
-            y = Mlp(self.hidden_size, self.dropout_rate, name="ffn")(
-                ln("ffn_norm")(x), train=train)
+            y = Mlp(self.hidden_size, self.dropout_rate, dtype=self.dtype,
+                    name="ffn")(ln("ffn_norm")(x), train=train)
             return y + h, None, w, None
 
         h_p, h_m = prot, mol
         p_in = ln("attention_norm")(prot)
         m_in = ln("att_norm_mol")(mol)
         p, m, w, gw = PairedAttention(self.hidden_size, self.num_heads, self.vis,
-                                      name="attn")(p_in, m_in)
+                                      dtype=self.dtype, name="attn")(p_in, m_in)
         p, m = p + h_p, m + h_m
         h_p, h_m = p, m
-        p = Mlp(self.hidden_size, self.dropout_rate, name="ffn")(
-            ln("ffn_norm")(p), train=train) + h_p
-        m = Mlp(self.hidden_size, self.dropout_rate, name="ffn_mol")(
-            ln("ffn_norm_mol")(m), train=train) + h_m
+        p = Mlp(self.hidden_size, self.dropout_rate, dtype=self.dtype,
+                name="ffn")(ln("ffn_norm")(p), train=train) + h_p
+        m = Mlp(self.hidden_size, self.dropout_rate, dtype=self.dtype,
+                name="ffn_mol")(ln("ffn_norm_mol")(m), train=train) + h_m
         return p, m, w, gw
 
 
@@ -166,14 +173,19 @@ class PairedMultimodalAttention(nn.Module):
     mol_len: int = 256
     dropout_rate: float = 0.1
     vis: bool = False
+    dtype: Any = None
+    variant: str = "pmma"   # 'pmma' | 'linattn' (reference LinAttnEncoder,
+                            # encoder.py:58-86: blocks ≥2 are MHLA + residual)
 
     @nn.compact
     def __call__(self, prot, mol, train: bool = False):
+        from druglamp_tpu.nn.mhla import MultiHeadLinearAttention
+
         E = self.hidden_size
         pe_prot = self.param("pe_prot", inits.zeros, (1, self.feat_len, E))
         pe_mol = self.param("pe_mol", inits.zeros, (1, self.mol_len, E))
 
-        mol = TorchDense(E, name="mol_embeddings")(mol) + pe_mol
+        mol = TorchDense(E, dtype=self.dtype, name="mol_embeddings")(mol) + pe_mol
         mol = nn.Dropout(self.dropout_rate, deterministic=not train)(mol)
         prot = prot + pe_prot  # prot Linear discarded in reference (embed.py:50-51)
         prot = nn.Dropout(self.dropout_rate, deterministic=not train)(prot)
@@ -184,15 +196,26 @@ class PairedMultimodalAttention(nn.Module):
             if i < 2:
                 x, mol, w, gw = PMMABlock(E, self.num_heads, mm=True,
                                           dropout_rate=self.dropout_rate,
-                                          vis=self.vis, name=f"block_{i}")(
+                                          vis=self.vis, dtype=self.dtype,
+                                          name=f"block_{i}")(
                     x, mol, train=train)
             else:
                 if i == 2:
                     x = jnp.concatenate([x, mol], axis=-1)
-                x, _, w, gw = PMMABlock(2 * E, self.num_heads, mm=False,
-                                        dropout_rate=self.dropout_rate,
-                                        vis=self.vis, name=f"block_{i}")(
-                    x, train=train)
+                if self.variant == "linattn":
+                    h = x
+                    x = MultiHeadLinearAttention(
+                        d_model=2 * E, d_diff=8 * E, nhead=8,
+                        dropout=self.dropout_rate, activation="gelu",
+                        dtype=self.dtype, name=f"block_{i}")(x, train=train)
+                    x = x + h
+                    w = gw = None
+                else:
+                    x, _, w, gw = PMMABlock(2 * E, self.num_heads, mm=False,
+                                            dropout_rate=self.dropout_rate,
+                                            vis=self.vis, dtype=self.dtype,
+                                            name=f"block_{i}")(
+                        x, train=train)
             if self.vis:
                 weights.append(w)
                 guided_weights.append(gw)

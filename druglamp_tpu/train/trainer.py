@@ -174,6 +174,28 @@ class Trainer:
                 break
         return state
 
+    def fast_dev_run(self, example_batch, seed: int, n_batches: int = 10) -> Dict[str, float]:
+        """Smoke path: n train batches + a val pass, no checkpoints/early stop
+        (reference ExpModule.run_fast_development, trainer.py:137-139)."""
+        import itertools
+
+        state = self.init_state(example_batch, seed)
+        rng = jax.random.key(seed + 999)
+        step_fn = self._get_step_fn(self.use_ssl, self.use_cm, self.use_cm)
+        losses = []
+        for batch in itertools.islice(self.train_loader.epoch(0), n_batches):
+            rng, k = jax.random.split(rng)
+            out = step_fn(state, self.shard_fn(batch), k,
+                          jnp.float32(self.cfg.solver.lr),
+                          jnp.float32(self.cfg.solver.ssl_lr),
+                          jnp.float32(self.cfg.solver.cm_lr),
+                          jnp.float32(self.margin_sched.margin),
+                          jnp.float32(self.cm_weight))
+            state = out.state
+            losses.append(float(out.cls_loss))
+        val = self.evaluate(state, self.val_loader, full=False)
+        return {"train_losses": losses, **{f"val_{k}": v for k, v in val.items()}}
+
     def evaluate(self, state: TrainState, loader: BatchLoader, full: bool) -> Dict[str, float]:
         collector = MetricCollector()
         losses = []
