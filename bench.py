@@ -53,19 +53,27 @@ def main() -> None:
 
     args = (jnp.float32(1e-4), jnp.float32(3e-5), jnp.float32(1e-5),
             jnp.float32(0.5), jnp.float32(1.0))
-    rng = jax.random.key(3)
 
-    for _ in range(WARMUP):
-        rng, k = jax.random.split(rng)
-        out = step(state, batch, k, *args)
-        state = out.state
+    # Steps run inside one lax.scan so the measurement reflects device
+    # throughput, not per-call host dispatch latency (which dominates a
+    # python step loop on a remote-attached chip).  State threads through
+    # the scan, so no step's work can be dead-code-eliminated.
+    def scan_steps(state, rng, n):
+        def body(carry, _):
+            st, key = carry
+            key, k = jax.random.split(key)
+            out = step(st, batch, k, *args)  # nested jit inlines
+            return (out.state, key), out.cls_loss
+
+        (state, _), losses = jax.lax.scan(body, (state, rng), None, length=n)
+        return state, losses
+
+    scan_jit = jax.jit(scan_steps, static_argnums=(2,), donate_argnums=(0,))
+    state, _ = scan_jit(state, jax.random.key(3), WARMUP)
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        rng, k = jax.random.split(rng)
-        out = step(state, batch, k, *args)
-        state = out.state
+    state, losses = scan_jit(state, jax.random.key(4), ITERS)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 

@@ -58,6 +58,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["per_loss", "legacy_aliased"])
     p.add_argument("--gen-embed", action="store_true",
                    help="generate frozen-encoder embedding caches before training")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from work-dir's last checkpoint if present")
     return p
 
 
@@ -162,7 +164,7 @@ def main(argv=None) -> int:
                       logger=logger, work_dir=work_dir,
                       shard_fn=mesh_ctx.shard_batch)
     example = next(train_loader.epoch(0))
-    metrics = trainer.run_experiment(example, seed=cfg.solver.seed)
+    metrics = trainer.run_experiment(example, seed=cfg.solver.seed, resume=args.resume)
     print({f"test_{k}": round(v, 5) for k, v in metrics.items()})
     logger.close()
     return 0

@@ -40,7 +40,9 @@ def paired_attention_core(
     All inputs (B, H, L, D).  Returns (self_out, guided_out, self_probs,
     guided_probs); probs are None unless need_weights.
     """
-    if get_backend() == "pallas" and not need_weights:
+    # pallas wins only at bf16 (fp32-on-MXU XLA is already near-roofline at
+    # these shapes; measured in tools/kernel_check.py)
+    if get_backend() == "pallas" and not need_weights and q.dtype == jnp.bfloat16:
         from druglamp_tpu.kernels.paired_attention_pallas import paired_attention_pallas
 
         self_out, guided_out = paired_attention_pallas(q, k, v, q_other)
@@ -55,7 +57,7 @@ def paired_attention_core(
 def self_attention_core(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, need_weights: bool = False
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    if get_backend() == "pallas" and not need_weights:
+    if get_backend() == "pallas" and not need_weights and q.dtype == jnp.bfloat16:
         from druglamp_tpu.kernels.paired_attention_pallas import self_attention_pallas
 
         return self_attention_pallas(q, k, v), None

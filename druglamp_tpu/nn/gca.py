@@ -10,9 +10,10 @@ The packed in_proj weight is initialized with xavier_uniform over the full
 (3E, E) matrix exactly as torch's _reset_parameters does (bound uses
 fan = 3E + E), since that changes the init scale vs per-matrix xavier.
 
-When available, the fused Pallas kernel (kernels/gca_attention.py) computes
-softmax(QKᵀ)·V without materializing the attention matrix in HBM; the raw
-logits output is only produced when ``need_raw=True`` (eval/vis path).
+The raw-logits output is only produced when ``need_raw=True`` (eval/vis
+path); the training path lets XLA fuse the single-head attention (at
+L=256, S=512, 1 head the op is bandwidth-trivial — measured no win from a
+custom kernel at these shapes).
 """
 
 from __future__ import annotations

@@ -37,6 +37,21 @@ from druglamp_tpu.train.steps import make_eval_step, make_train_step
 from druglamp_tpu.utils.logging import ExperimentLogger
 
 
+def _device_prefetch(iterator, shard_fn, depth: int = 2):
+    """Overlap host→device transfer with compute: device_put is async, so
+    keeping `depth` batches in flight hides the H2D copy behind the previous
+    step's execution."""
+    import collections
+
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(shard_fn(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class Trainer:
     def __init__(self, model, cfg: Config, train_loader: BatchLoader,
                  val_loader: BatchLoader, test_loader: BatchLoader,
@@ -70,6 +85,8 @@ class Trainer:
         self.ssl_sched_steps = 0
         self.cm_sched_steps = 0
         self.cm_weight = 1.0
+        self.epoch = 0
+        self.epochs_no_improve = 0
 
         self.best_ausum = -np.inf
         self.best_epoch = -1
@@ -100,12 +117,16 @@ class Trainer:
 
     # --- fit / evaluate -----------------------------------------------------
 
-    def fit(self, state: TrainState, seed: int) -> TrainState:
-        rng = jax.random.key(seed + 777)
-        epochs_no_improve = 0
+    def fit(self, state: TrainState, seed: int, start_epoch: int = 1) -> TrainState:
+        epochs_no_improve = self.epochs_no_improve
         best_path = os.path.join(self.work_dir, "ckpt_best")
+        last_path = os.path.join(self.work_dir, "ckpt_last")
+        if epochs_no_improve >= self.patience:
+            return state  # resumed past an early stop — nothing left to train
 
-        for epoch in range(1, self.epochs + 1):
+        for epoch in range(start_epoch, self.epochs + 1):
+            # per-epoch rng derivation keeps resume deterministic
+            rng = jax.random.fold_in(jax.random.key(seed + 777), epoch)
             cur = epoch  # 1-based like the reference's cur_epoch
             compute_ssl = self.use_ssl and (cur % self.cfg.rs.epoch_step == 0)
             compute_cm = self.use_cm and (cur >= self.cfg.rs.init_epoch)
@@ -120,9 +141,10 @@ class Trainer:
             t0 = time.time()
             cls_sum = ssl_sum = cm_sum = 0.0
             n_batches = 0
-            for batch in self.train_loader.epoch(epoch):
+            for batch in _device_prefetch(self.train_loader.epoch(epoch),
+                                          self.shard_fn):
                 rng, step_rng = jax.random.split(rng)
-                out = step_fn(state, self.shard_fn(batch), step_rng,
+                out = step_fn(state, batch, step_rng,
                               jnp.float32(lr_cls), jnp.float32(lr_ssl),
                               jnp.float32(lr_cm), jnp.float32(margin),
                               jnp.float32(self.cm_weight))
@@ -160,13 +182,17 @@ class Trainer:
                                         epoch=epoch)
 
             ausum = val_metrics["ausum"]
+            self.epoch = epoch  # before saving: ckpt host state must carry it
             if np.isfinite(ausum) and ausum > self.best_ausum:
                 self.best_ausum = ausum
                 self.best_epoch = epoch
                 epochs_no_improve = 0
+                self.epochs_no_improve = 0
                 self._save(best_path, state)
             else:
                 epochs_no_improve += 1
+                self.epochs_no_improve = epochs_no_improve
+            self._save(last_path, state)   # step-level resume point
             if epochs_no_improve >= self.patience:
                 if self.logger:
                     self.logger.log_dict({"event": "early_stop", "epoch": epoch,
@@ -209,11 +235,26 @@ class Trainer:
         m["loss"] = float(np.mean(losses)) if losses else float("nan")
         return m
 
-    def run_experiment(self, example_batch, seed: int) -> Dict[str, float]:
-        """fit → restore best → test (reference ExpModule.run_experiment)."""
+    def run_experiment(self, example_batch, seed: int,
+                       resume: bool = False) -> Dict[str, float]:
+        """fit → restore best → test (reference ExpModule.run_experiment).
+
+        With ``resume=True`` and an existing ckpt_last, training continues
+        from the epoch after the checkpoint (full state: params, three
+        optimizer moments, batch stats, schedules, margin, CM weight, early-
+        stop counters) — capability the reference lacks (it restarts from
+        epoch 0 on failure, SURVEY §5.3)."""
         state = self.init_state(example_batch, seed)
-        state = self.fit(state, seed)
-        best = self.restore(os.path.join(self.work_dir, "ckpt_best"), state)
+        start_epoch = 1
+        last_path = os.path.join(self.work_dir, "ckpt_last")
+        if resume and os.path.exists(last_path):
+            state = self.restore(last_path, state)
+            start_epoch = self.epoch + 1
+            if self.logger:
+                self.logger.log_dict({"event": "resume", "from_epoch": self.epoch})
+        state = self.fit(state, seed, start_epoch=start_epoch)
+        best = self.restore(os.path.join(self.work_dir, "ckpt_best"), state,
+                            load_host=False)
         test_metrics = self.evaluate(best, self.test_loader, full=True)
         if self.logger:
             self.logger.log_metrics({f"test_{k}": v for k, v in test_metrics.items()})
@@ -229,19 +270,28 @@ class Trainer:
                    "host": {"cm_weight": self.cm_weight,
                             "ssl_sched_steps": self.ssl_sched_steps,
                             "cm_sched_steps": self.cm_sched_steps,
+                            "epoch": self.epoch,
+                            "epochs_no_improve": self.epochs_no_improve,
+                            "best_ausum": float(self.best_ausum),
+                            "best_epoch": self.best_epoch,
                             "margin": self.margin_sched.state_dict()}}
         self.ckpt.save(path, {"state": jax.tree.map(np.asarray, _as_dict(state)),
                               "host": payload["host"]}, force=True)
 
-    def restore(self, path: str, like: TrainState) -> TrainState:
+    def restore(self, path: str, like: TrainState,
+                load_host: bool = True) -> TrainState:
         if not os.path.exists(path):
             return like
         restored = self.ckpt.restore(path)
         tree = restored["state"]
-        host = restored.get("host", {})
+        host = restored.get("host", {}) if load_host else {}
         self.cm_weight = float(host.get("cm_weight", self.cm_weight))
         self.ssl_sched_steps = int(host.get("ssl_sched_steps", self.ssl_sched_steps))
         self.cm_sched_steps = int(host.get("cm_sched_steps", self.cm_sched_steps))
+        self.epoch = int(host.get("epoch", self.epoch))
+        self.epochs_no_improve = int(host.get("epochs_no_improve", self.epochs_no_improve))
+        self.best_ausum = float(host.get("best_ausum", self.best_ausum))
+        self.best_epoch = int(host.get("best_epoch", self.best_epoch))
         if "margin" in host:
             self.margin_sched.load_state_dict(host["margin"])
         return TrainState(

@@ -187,3 +187,21 @@ def test_checkpoint_roundtrip(tmp_path):
     s2 = make_eval_step(model)(restored.params, restored.batch_stats,
                                jax.tree.map(jnp.asarray, example))[0]
     assert np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_resume_continues_training(tmp_path):
+    root = _make_csv_dataset(tmp_path)
+    cfg = _tiny_training_cfg()
+    train_l, val_l, test_l = _loaders(root, cfg)
+    model = build_model("DrugLAMPwoLLM", cfg, 24, 40)
+    wd = str(tmp_path / "resume")
+    tr1 = Trainer(model, cfg, train_l, val_l, test_l, work_dir=wd)
+    example = next(train_l.epoch(0))
+    tr1.run_experiment(example, seed=2)
+    assert tr1.epoch >= 1
+    # new trainer resumes and (max_epoch already reached) skips straight to done
+    tr2 = Trainer(model, cfg, train_l, val_l, test_l, work_dir=wd)
+    metrics = tr2.run_experiment(example, seed=2, resume=True)
+    assert tr2.epoch == tr1.epoch               # restored host state
+    assert tr2.best_ausum == pytest.approx(tr1.best_ausum)
+    assert "auroc" in metrics

@@ -1,0 +1,89 @@
+"""Train-step component timing on TPU: ablate submodules to locate hot spots.
+
+Times jitted functions: full train step, forward-only, and forwards with the
+GCN / CNN / PMMA swapped for cheap identities (same shapes), isolating each
+component's share. Run: PYTHONPATH=. python tools/step_profile.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from druglamp_tpu.config import Config
+from druglamp_tpu.models.registry import build_model
+from druglamp_tpu.train.state import TrainState
+from druglamp_tpu.train.steps import make_train_step
+from druglamp_tpu.utils.synthetic import make_batch
+
+BATCH = 16
+
+
+def timeit(fn, *args, iters=30):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    cfg = Config()
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, BATCH, n_drug_feature=384,
+                                                 n_prot_feature=640))
+    model = build_model("DrugLAMP", cfg)
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                           batch, jax.random.key(2), method="init_all")
+    # deep-copy params into the state: the train step donates its buffers,
+    # and `variables` must stay alive for the component timings below
+    state = TrainState.create(jax.tree.map(jnp.copy, variables), False, False)
+    step = make_train_step(model, use_ssl=False, use_cm=False)
+    args = (jnp.float32(1e-4), jnp.float32(3e-5), jnp.float32(1e-5),
+            jnp.float32(0.5), jnp.float32(1.0))
+
+    # thread state through iterations (the step donates its input state)
+    out = step(state, batch, jax.random.key(3), *args)
+    state = out.state
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    iters = 30
+    for i in range(iters):
+        out = step(state, batch, jax.random.key(4 + i), *args)
+        state = out.state
+    jax.block_until_ready(state.params)
+    t_step = (time.perf_counter() - t0) / iters * 1e3
+    print(f"full train step: {t_step:.2f} ms  ({BATCH / t_step * 1000:.0f} pairs/s)")
+
+    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False)["score"])
+    t_fwd = timeit(fwd, variables, batch)
+    print(f"forward only:    {t_fwd:.2f} ms")
+
+    # component forward timings
+    def time_component(name, fn):
+        f = jax.jit(fn)
+        t = timeit(f, variables, batch)
+        print(f"{name}: {t:.2f} ms")
+
+    time_component("GCN fwd        ", lambda v, b: model.apply(
+        v, b["drug_node_feats"], b["drug_adj"], b["drug_degrees"], False,
+        method=lambda m, *a: m.drug_extractor(*a)))
+    time_component("ProteinCNN fwd ", lambda v, b: model.apply(
+        v, b["vp"], b["p_fill"], False,
+        method=lambda m, *a: m.protein_extractor(*a)))
+
+    def pmma_only(m, b):
+        B = b["labels"].shape[0]
+        L = m.config.pmma.feat_len
+        E = m.config.pmma.hidden_size
+        x = jnp.zeros((B, L, E), m.compute_dtype)
+        return m.pmma(x, x, train=False)[0]
+
+    time_component("PMMA fwd       ", lambda v, b: model.apply(
+        v, b, method=pmma_only))
+
+
+if __name__ == "__main__":
+    main()
