@@ -28,6 +28,10 @@ ITERS = 20
 
 def main() -> None:
     import jax
+
+    from druglamp_tpu.utils.jaxsetup import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -68,8 +72,9 @@ def main() -> None:
         (state, _), losses = jax.lax.scan(body, (state, rng), None, length=n)
         return state, losses
 
+    # warmup uses the SAME scan length so only one program is compiled
     scan_jit = jax.jit(scan_steps, static_argnums=(2,), donate_argnums=(0,))
-    state, _ = scan_jit(state, jax.random.key(3), WARMUP)
+    state, _ = scan_jit(state, jax.random.key(3), ITERS)
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()

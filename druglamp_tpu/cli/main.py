@@ -66,6 +66,10 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
+    from druglamp_tpu.utils.jaxsetup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from druglamp_tpu.config import builtin_config_path, load_config
     from druglamp_tpu.data.cache import EmbeddingCache, ZeroEmbeddings
     from druglamp_tpu.data.dataset import DTIDataset

@@ -31,6 +31,9 @@ def timeit(fn, *args, iters=30):
 
 
 def main():
+    from druglamp_tpu.utils.jaxsetup import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = Config()
     batch = jax.tree.map(jnp.asarray, make_batch(cfg, BATCH, n_drug_feature=384,
                                                  n_prot_feature=640))
