@@ -65,8 +65,13 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
                         tokenizer: Optional[SmilesTokenizer] = None,
                         batch: int = 8, max_prot_resis: int = 1022,
                         max_drug_tokens: int = 512, seed: int = 0,
-                        dtype=jnp.float32, verbose: bool = True) -> None:
-    """Populate ``cache`` with every missing entity embedding in ``table``."""
+                        dtype=jnp.float32, mesh=None,
+                        verbose: bool = True) -> None:
+    """Populate ``cache`` with every missing entity embedding in ``table``.
+
+    ``mesh``: optional jax.sharding.Mesh with a 'model' axis — the ESM stack
+    is tensor-parallel-sharded over it (required for esm2_t48_15B, which does
+    not fit one chip)."""
     # --- proteins (ESM-2) ---------------------------------------------------
     esm_cfg = esm2_config_for_layers(n_layer)
     esm = ESM2(esm_cfg, dtype=dtype)
@@ -76,6 +81,10 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
                   "random-initialized encoder weights", file=sys.stderr)
         esm_params = esm.init(jax.random.key(seed),
                               jnp.zeros((1, 8), jnp.int32))["params"]
+    if mesh is not None:
+        from druglamp_tpu.encoders.sharding import shard_encoder_variables
+
+        esm_params = shard_encoder_variables({"params": esm_params}, mesh)["params"]
     esm_apply = jax.jit(lambda p, t: esm.apply({"params": p}, t))
 
     todo = [(ordn, esm_tokenize(seq, max_prot_resis))

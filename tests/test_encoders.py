@@ -139,3 +139,32 @@ def test_embed_pipeline_smoke(tmp_path):
         emb = cache.prot(i)
         assert emb.shape == (len(seq) + 2, 64)
         assert np.isfinite(emb).all()
+
+
+def test_esm2_tensor_parallel_sharding():
+    """ESM params shard over the model axis; sharded forward == unsharded."""
+    from druglamp_tpu.encoders.sharding import shard_encoder_variables
+    from druglamp_tpu.parallel.mesh import make_mesh
+
+    cfg = ESM2Config(num_layers=2, embed_dim=64, num_heads=4, ffn_dim=256)
+    model = ESM2(cfg)
+    tokens = jnp.asarray(np.array([esm_tokenize("MKTAYIAKLAGV")], np.int32))
+    variables = model.init(jax.random.key(0), tokens)
+    ref = np.asarray(model.apply(variables, tokens))
+
+    mesh = make_mesh(n_model=2)
+    sharded = shard_encoder_variables(variables, mesh)
+    # at least one kernel is actually split over 'model'
+    import flax.linen as nn_linen
+
+    leaves = jax.tree.leaves(sharded,
+                             is_leaf=lambda x: isinstance(x, nn_linen.Partitioned))
+    specs = set()
+    for leaf in leaves:
+        val = leaf.value if isinstance(leaf, nn_linen.Partitioned) else leaf
+        specs.add(str(getattr(val, "sharding", None).spec)
+                  if hasattr(val, "sharding") else "none")
+    assert any("model" in s for s in specs), specs
+
+    out = jax.jit(lambda v, t: model.apply(v, t))(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
