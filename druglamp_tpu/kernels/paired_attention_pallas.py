@@ -32,6 +32,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# interpret mode lets the kernels run (slowly) on CPU for numerics tests
+INTERPRET = False
+
 
 def _fwd_kernel(q_ref, k_ref, v_ref, qo_ref, o1_ref, o2_ref):
     q = q_ref[0].astype(jnp.float32)
@@ -100,6 +103,7 @@ def _fwd_call(q, k, v, qo):
     out_spec = pl.BlockSpec((1, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     o1, o2 = pl.pallas_call(
         _fwd_kernel,
+        interpret=INTERPRET,
         grid=(B * H,),
         in_specs=_block_specs(B * H, L, S, D),
         out_specs=(out_spec, out_spec),
@@ -133,6 +137,7 @@ def _paired_bwd(res, cts):
     spec = lambda l: pl.BlockSpec((1, l, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv, dqo = pl.pallas_call(
         _bwd_kernel,
+        interpret=INTERPRET,
         grid=(B * H,),
         in_specs=[spec(L), spec(S), spec(S), spec(L), spec(L), spec(L)],
         out_specs=(spec(L), spec(S), spec(S), spec(L)),
@@ -187,6 +192,7 @@ def _self_call(q, k, v):
     spec = lambda l: pl.BlockSpec((1, l, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     o = pl.pallas_call(
         _self_fwd_kernel,
+        interpret=INTERPRET,
         grid=(B * H,),
         in_specs=[spec(L), spec(S), spec(S)],
         out_specs=spec(L),
@@ -211,6 +217,7 @@ def _self_bwd(res, do):
     spec = lambda l: pl.BlockSpec((1, l, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         _self_bwd_kernel,
+        interpret=INTERPRET,
         grid=(B * H,),
         in_specs=[spec(L), spec(S), spec(S), spec(L)],
         out_specs=(spec(L), spec(S), spec(S)),
