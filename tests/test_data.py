@@ -109,3 +109,32 @@ def test_embedding_cache_roundtrip(tmp_path):
     cache.put_prot(5, pe)
     assert np.allclose(cache.prot(5), pe)
     assert not cache.has_drug(4)
+
+
+def test_cluster_split_rs_task_wiring(tmp_path):
+    """cluster/Tcpi splits train on source_train.csv, eval on target_test.csv."""
+    import csv as _csv
+
+    d = tmp_path / "toy" / "cluster"
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        {"SMILES": "CCO", "Protein": "MKTA", "Y": 1, "drug_cluster": 0,
+         "target_cluster": 1},
+        {"SMILES": "CCN", "Protein": "MSEQ", "Y": 0, "drug_cluster": 1,
+         "target_cluster": 0},
+    ]
+    for name in ("source_train.csv", "target_test.csv"):
+        with open(d / name, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            for r in rows:
+                w.writerow(r)
+    train = DTIDataset(str(tmp_path), "toy", "cluster", "source_train.csv",
+                       max_nodes=32, seq_len=288)
+    test = DTIDataset(str(tmp_path), "toy", "cluster", "target_test.csv",
+                      table=train.table, max_nodes=32, seq_len=288)
+    assert len(train) == 2 and len(test) == 2
+    # extra cluster columns are carried but ignored by featurization
+    loader = BatchLoader(train, 2, shuffle=False, drop_last=False, prefetch=0)
+    b = next(loader.epoch(0))
+    assert b["labels"].tolist() == [1.0, 0.0]
