@@ -205,3 +205,55 @@ def test_resume_continues_training(tmp_path):
     assert tr2.epoch == tr1.epoch               # restored host state
     assert tr2.best_ausum == pytest.approx(tr1.best_ausum)
     assert "auroc" in metrics
+
+
+def test_per_loss_grads_match_independent_grads():
+    """The shared-vjp per-loss gradients equal separately computed grads."""
+    cfg = _tiny_training_cfg(ssl=True)
+    model = build_model("DrugLAMPwoLLM", cfg, 24, 40)
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, 4, n_drug_feature=24,
+                                                 n_prot_feature=40))
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                           batch, jax.random.key(2), method="init_all")
+    params, stats = variables["params"], variables["batch_stats"]
+    drop1, drop2, mlm = jax.random.split(jax.random.key(7), 3)
+
+    from druglamp_tpu.losses.classification import binary_cross_entropy
+
+    def cls_only(p):
+        out, _ = model.apply({"params": p, "batch_stats": stats}, batch,
+                             train=True, rngs={"dropout": drop1},
+                             mutable=["batch_stats"])
+        return binary_cross_entropy(out["score"], batch["labels"])[1]
+
+    def ssl_only(p):
+        out, muts = model.apply({"params": p, "batch_stats": stats}, batch,
+                                train=True, rngs={"dropout": drop1},
+                                mutable=["batch_stats"])
+        d, _ = model.apply({"params": p, "batch_stats": muts["batch_stats"]},
+                           out["ssl_inputs"], mlm, True, method="ssl_loss",
+                           mutable=["batch_stats"], rngs={"dropout": drop2})
+        return (d["prot_ssl"] + d["drug_ssl"]) * 0.1
+
+    def both(p):
+        out, muts = model.apply({"params": p, "batch_stats": stats}, batch,
+                                train=True, rngs={"dropout": drop1},
+                                mutable=["batch_stats"])
+        cls = binary_cross_entropy(out["score"], batch["labels"])[1]
+        d, _ = model.apply({"params": p, "batch_stats": muts["batch_stats"]},
+                           out["ssl_inputs"], mlm, True, method="ssl_loss",
+                           mutable=["batch_stats"], rngs={"dropout": drop2})
+        return cls, (d["prot_ssl"] + d["drug_ssl"]) * 0.1
+
+    losses, vjp_fn = jax.vjp(both, params)
+    g_cls_v = vjp_fn((jnp.float32(1.0), jnp.float32(0.0)))[0]
+    g_ssl_v = vjp_fn((jnp.float32(0.0), jnp.float32(1.0)))[0]
+    g_cls = jax.grad(cls_only)(params)
+    g_ssl = jax.grad(ssl_only)(params)
+
+    for a, b in zip(jax.tree.leaves(g_cls_v), jax.tree.leaves(g_cls)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_ssl_v), jax.tree.leaves(g_ssl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
