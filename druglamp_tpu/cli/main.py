@@ -143,11 +143,12 @@ def main(argv=None) -> int:
     bs = cfg.solver.batch_size
     eval_bs = cfg.solver.eval_batch_size
     train_loader = BatchLoader(train_ds, bs, shuffle=True, drop_last=True,
-                               embeddings=embeddings, seed=cfg.solver.seed)
+                               embeddings=embeddings, seed=cfg.solver.seed,
+                               include_llm=needs_llm)
     val_loader = BatchLoader(val_ds, eval_bs, shuffle=False, drop_last=False,
-                             embeddings=embeddings)
+                             embeddings=embeddings, include_llm=needs_llm)
     test_loader = BatchLoader(test_ds, eval_bs, shuffle=False, drop_last=False,
-                              embeddings=embeddings)
+                              embeddings=embeddings, include_llm=needs_llm)
 
     model = build_model(args.model, cfg, n_drug_feature, n_prot_feature)
 

@@ -63,7 +63,8 @@ class BatchLoader:
 
     def __init__(self, dataset: DTIDataset, batch_size: int, shuffle: bool,
                  drop_last: bool, embeddings=None, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, include_llm: bool = True,
+                 llm_dtype=None):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -71,6 +72,16 @@ class BatchLoader:
         self.emb = embeddings if embeddings is not None else ZeroEmbeddings()
         self.seed = seed
         self.prefetch = prefetch
+        # include_llm=False (DrugLAMPwoLLM) drops the xd/xp arrays from the
+        # batch entirely — they are ~98% of batch bytes and that model never
+        # reads them.  LLM arrays ship as bfloat16 by default (half the
+        # host→device traffic; the model computes in bf16 anyway).
+        self.include_llm = include_llm
+        if llm_dtype is None:
+            import ml_dtypes
+
+            llm_dtype = ml_dtypes.bfloat16
+        self.llm_dtype = llm_dtype
 
     def __len__(self):
         n = len(self.ds)
@@ -104,10 +115,11 @@ class BatchLoader:
             "vp": np.zeros((B, L), np.int32),
             "p_fill": np.zeros((B, L), np.float32),
             "d_fill": np.zeros((B, N), np.float32),
-            "xd": np.zeros((B, N, nd), np.float32),
-            "xp": np.zeros((B, L, np_), np.float32),
             "labels": np.zeros((B,), np.float32),
         }
+        if self.include_llm:
+            batch["xd"] = np.zeros((B, N, nd), self.llm_dtype)
+            batch["xp"] = np.zeros((B, L, np_), self.llm_dtype)
         from druglamp_tpu.chem import native as _native
 
         use_native = _native.available()
@@ -140,14 +152,15 @@ class BatchLoader:
 
             demb = self.emb.drug(dord)          # (T, nd)
             t = min(demb.shape[0], N)
-            batch["xd"][b, :t] = demb[:t]
             batch["d_fill"][b, t:] = 1.0
-            pemb = self.emb.prot(pord)          # (Lp, np)
-            lp = pemb.shape[0]
-            if lp > 0:
-                quot = L // lp
-                for j in range(quot):
-                    batch["xp"][b, j * lp : (j + 1) * lp] = pemb
+            if self.include_llm:
+                batch["xd"][b, :t] = demb[:t]
+                pemb = self.emb.prot(pord)      # (Lp, np)
+                lp = pemb.shape[0]
+                if lp > 0:
+                    quot = L // lp
+                    for j in range(quot):
+                        batch["xp"][b, j * lp : (j + 1) * lp] = pemb
 
         batch["valid"] = (np.arange(B) < n_real).astype(np.float32)
         batch["cm"] = build_cm_arrays(ds.prot_ords[idx], ds.drug_ords[idx],

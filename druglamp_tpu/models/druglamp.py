@@ -28,8 +28,10 @@ class DrugLAMP(DrugLAMPBase):
 
         fill_bit_p = batch["p_fill"]
         fill_bit_d = batch["d_fill"]
-        xp = jnp.concatenate([batch["xp"], fill_bit_p[..., None]], axis=-1)
-        xd = jnp.concatenate([batch["xd"], fill_bit_d[..., None]], axis=-1)
+        xp = jnp.concatenate(
+            [batch["xp"], fill_bit_p[..., None].astype(batch["xp"].dtype)], axis=-1)
+        xd = jnp.concatenate(
+            [batch["xd"], fill_bit_d[..., None].astype(batch["xd"].dtype)], axis=-1)
 
         ssl_inputs = {"vp": batch["vp"], "xp": xp, "fill_bit_p": fill_bit_p,
                       "vd": vd, "xd": xd}
@@ -85,8 +87,10 @@ class DrugLAMP2C2P(DrugLAMPBase):
 
         fill_bit_p = batch["p_fill"]
         fill_bit_d = batch["d_fill"]
-        xp = jnp.concatenate([batch["xp"], fill_bit_p[..., None]], axis=-1)
-        xd = jnp.concatenate([batch["xd"], fill_bit_d[..., None]], axis=-1)
+        xp = jnp.concatenate(
+            [batch["xp"], fill_bit_p[..., None].astype(batch["xp"].dtype)], axis=-1)
+        xd = jnp.concatenate(
+            [batch["xd"], fill_bit_d[..., None].astype(batch["xd"].dtype)], axis=-1)
 
         ssl_inputs = {"vp": batch["vp"], "xp": xp, "fill_bit_p": fill_bit_p,
                       "vd": vd, "xd": xd}
