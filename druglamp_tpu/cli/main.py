@@ -67,8 +67,10 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
     from druglamp_tpu.utils.jaxsetup import enable_compilation_cache
+    from druglamp_tpu.parallel.distributed import maybe_initialize_distributed
 
     enable_compilation_cache()
+    maybe_initialize_distributed()
 
     from druglamp_tpu.config import builtin_config_path, load_config
     from druglamp_tpu.data.cache import EmbeddingCache, ZeroEmbeddings

@@ -114,3 +114,14 @@ def test_eval_step_sharded():
                      ctx.shard_batch(batch))
     assert probs.shape == (B,)
     assert np.isfinite(float(loss))
+
+
+def test_distributed_noop_without_config(monkeypatch):
+    from druglamp_tpu.parallel import distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
+                "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert distributed.maybe_initialize_distributed() is False
+    assert distributed.process_count() == 1
+    assert distributed.is_primary()
