@@ -139,7 +139,9 @@ class Trainer:
 
             step_fn = self._get_step_fn(compute_ssl, compute_cm, calibrate)
             t0 = time.time()
-            cls_sum = ssl_sum = cm_sum = 0.0
+            # losses stay on device during the epoch (a float() per step would
+            # block the async dispatch pipeline); host conversion happens once
+            cls_l, ssl_l, cm_l = [], [], []
             n_batches = 0
             for batch in _device_prefetch(self.train_loader.epoch(epoch),
                                           self.shard_fn):
@@ -149,12 +151,16 @@ class Trainer:
                               jnp.float32(lr_cm), jnp.float32(margin),
                               jnp.float32(self.cm_weight))
                 state = out.state
-                cls_sum += float(out.cls_loss)
-                ssl_sum += float(out.ssl_loss)
-                cm_sum += float(out.cm_loss)
+                cls_l.append(out.cls_loss)
+                ssl_l.append(out.ssl_loss)
+                cm_l.append(out.cm_loss)
                 if calibrate:
+                    # calibration feeds the next step's input: must sync here
                     self.cm_weight = float(out.cm_weight)
                 n_batches += 1
+            cls_sum = float(np.sum([float(x) for x in cls_l]))
+            ssl_sum = float(np.sum([float(x) for x in ssl_l]))
+            cm_sum = float(np.sum([float(x) for x in cm_l]))
 
             # epoch-end scheduler/margin stepping (reference trainer.py:243-254)
             if compute_ssl:
