@@ -146,11 +146,13 @@ def main(argv=None) -> int:
     eval_bs = cfg.solver.eval_batch_size
     train_loader = BatchLoader(train_ds, bs, shuffle=True, drop_last=True,
                                embeddings=embeddings, seed=cfg.solver.seed,
-                               include_llm=needs_llm)
+                               include_llm=needs_llm, compact=True)
     val_loader = BatchLoader(val_ds, eval_bs, shuffle=False, drop_last=False,
-                             embeddings=embeddings, include_llm=needs_llm)
+                             embeddings=embeddings, include_llm=needs_llm,
+                             compact=True)
     test_loader = BatchLoader(test_ds, eval_bs, shuffle=False, drop_last=False,
-                              embeddings=embeddings, include_llm=needs_llm)
+                              embeddings=embeddings, include_llm=needs_llm,
+                              compact=True)
 
     model = build_model(args.model, cfg, n_drug_feature, n_prot_feature)
 

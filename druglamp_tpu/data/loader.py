@@ -64,7 +64,7 @@ class BatchLoader:
     def __init__(self, dataset: DTIDataset, batch_size: int, shuffle: bool,
                  drop_last: bool, embeddings=None, seed: int = 0,
                  prefetch: int = 2, include_llm: bool = True,
-                 llm_dtype=None):
+                 llm_dtype=None, compact: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -77,6 +77,10 @@ class BatchLoader:
         # reads them.  LLM arrays ship as bfloat16 by default (half the
         # host→device traffic; the model computes in bf16 anyway).
         self.include_llm = include_llm
+        # compact=True ships the bit-packed/int8 batch form (decoded on
+        # device inside the jitted step; see data/encoding.py) — ~6x fewer
+        # host→device bytes
+        self.compact = compact
         if llm_dtype is None:
             import ml_dtypes
 
@@ -165,6 +169,12 @@ class BatchLoader:
         batch["valid"] = (np.arange(B) < n_real).astype(np.float32)
         batch["cm"] = build_cm_arrays(ds.prot_ords[idx], ds.drug_ords[idx],
                                       ds.labels[idx])
+        if self.compact:
+            from druglamp_tpu.data.encoding import compact_batch
+
+            n_atoms = np.array([ds.table.drugs[int(ds.drug_ords[i])].n_atoms
+                                for i in idx])
+            batch = compact_batch(batch, n_atoms)
         return batch
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:

@@ -34,6 +34,7 @@ from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from druglamp_tpu.data.encoding import decode_batch
 from druglamp_tpu.losses.classification import binary_cross_entropy, cross_entropy_logits
 from druglamp_tpu.train.state import TrainState, apply_optimizer
 
@@ -73,6 +74,7 @@ def make_train_step(model, use_ssl: bool, use_cm: bool, calibrate: bool = False,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, Any], rng,
                    lr_cls, lr_ssl, lr_cm, margin, cm_weight) -> StepOutput:
+        batch = decode_batch(batch)
         drop1, drop2, mlm = jax.random.split(rng, 3)
 
         def losses_fn(params):
@@ -145,6 +147,7 @@ def make_eval_step(model, n_class: int = 1) -> Callable:
 
     @jax.jit
     def eval_step(params, batch_stats, batch):
+        batch = decode_batch(batch)
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           batch, train=False)
         probs, _ = _cls_loss(out["score"], batch["labels"], n_class)

@@ -138,3 +138,26 @@ def test_cluster_split_rs_task_wiring(tmp_path):
     loader = BatchLoader(train, 2, shuffle=False, drop_last=False, prefetch=0)
     b = next(loader.epoch(0))
     assert b["labels"].tolist() == [1.0, 0.0]
+
+
+def test_compact_encoding_roundtrip(human_val):
+    """decode(compact batch) reproduces the standard batch exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from druglamp_tpu.data.encoding import decode_batch
+
+    std = next(BatchLoader(human_val, 8, shuffle=False, drop_last=True,
+                           prefetch=0, compact=False, include_llm=False).epoch(0))
+    cmp_ = next(BatchLoader(human_val, 8, shuffle=False, drop_last=True,
+                            prefetch=0, compact=True, include_llm=False).epoch(0))
+    # compact batch is much smaller on the wire
+    std_bytes = sum(v.nbytes for v in std.values() if hasattr(v, "nbytes"))
+    cmp_bytes = sum(v.nbytes for v in cmp_.values() if hasattr(v, "nbytes"))
+    assert cmp_bytes < std_bytes / 3
+
+    dec = jax.jit(decode_batch)(jax.tree.map(jnp.asarray, cmp_))
+    for key in ("drug_adj", "drug_degrees", "drug_node_feats", "vp",
+                "p_fill", "d_fill", "labels"):
+        np.testing.assert_array_equal(np.asarray(dec[key]), std[key],
+                                      err_msg=key)
