@@ -109,10 +109,12 @@ class Trainer:
             min_lr=1e-8, warmup_steps=int(self.epochs * 0.2))
 
     def init_state(self, example_batch, seed: int) -> TrainState:
+        from druglamp_tpu.data.encoding import decode_batch
+
+        example = decode_batch(jax.tree.map(jnp.asarray, example_batch))
         variables = self.model.init(
             {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
-            jax.tree.map(jnp.asarray, example_batch), jax.random.key(seed + 2),
-            method="init_all")
+            example, jax.random.key(seed + 2), method="init_all")
         return TrainState.create(variables, self.use_ssl, self.use_cm)
 
     # --- fit / evaluate -----------------------------------------------------
