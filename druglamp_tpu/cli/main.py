@@ -171,7 +171,7 @@ def main(argv=None) -> int:
 
     trainer = Trainer(model, cfg, train_loader, val_loader, test_loader,
                       logger=logger, work_dir=work_dir,
-                      shard_fn=mesh_ctx.shard_batch)
+                      shard_fn=mesh_ctx.fused_shard_batch)
     example = next(train_loader.epoch(0))
     metrics = trainer.run_experiment(example, seed=cfg.solver.seed, resume=args.resume)
     print({f"test_{k}": round(v, 5) for k, v in metrics.items()})

@@ -56,6 +56,82 @@ def compact_batch(batch: Dict[str, Any], n_atoms: np.ndarray) -> Dict[str, Any]:
     return out
 
 
+class BatchFuser:
+    """Pack a whole (compact) batch into ONE per-sample byte buffer.
+
+    Every batch array has a leading batch dim; the fuser lays each sample's
+    bytes out contiguously in a (B, bytes_per_sample) uint8 buffer, so the
+    host→device path is a single DMA per batch instead of ~17 (a large win
+    when per-transfer latency is nontrivial), and the buffer shards cleanly
+    over the mesh 'data' axis.  ``unfuse`` (jit-traceable) slices and
+    bitcasts back to the original arrays on device — pure layout ops.
+    """
+
+    def __init__(self, example: Dict[str, Any]):
+        flat = _flatten(example)
+        self.spec = []
+        off = 0
+        self.batch = next(iter(flat.values())).shape[0]
+        for key in sorted(flat):
+            arr = flat[key]
+            assert arr.shape[0] == self.batch, (key, arr.shape)
+            per = int(np.prod(arr.shape[1:], dtype=np.int64)) * arr.dtype.itemsize
+            self.spec.append((key, tuple(arr.shape[1:]), arr.dtype, off, per))
+            off += per
+        self.bytes_per_sample = off
+
+    def fuse(self, batch: Dict[str, Any]) -> np.ndarray:
+        flat = _flatten(batch)
+        B = self.batch
+        buf = np.empty((B, self.bytes_per_sample), np.uint8)
+        for key, shape, dtype, off, per in self.spec:
+            src = np.ascontiguousarray(flat[key])
+            buf[:, off : off + per] = src.view(np.uint8).reshape(B, per)
+        return buf
+
+    def unfuse(self, buf) -> Dict[str, Any]:
+        import jax
+        import jax.numpy as jnp
+
+        out: Dict[str, Any] = {}
+        B = buf.shape[0]
+        for key, shape, dtype, off, per in self.spec:
+            chunk = jax.lax.slice_in_dim(buf, off, off + per, axis=1)
+            jdt = jnp.dtype(dtype)
+            if jdt.itemsize == 1:
+                arr = chunk.reshape((B,) + shape)
+                if jdt == jnp.bool_:
+                    arr = arr.astype(bool)
+                elif jdt != jnp.uint8:
+                    arr = jax.lax.bitcast_convert_type(arr, jdt)
+            else:
+                arr = jax.lax.bitcast_convert_type(
+                    chunk.reshape((B,) + shape + (jdt.itemsize,)), jdt)
+            out[key] = arr
+        return _unflatten(out)
+
+
+def _flatten(batch: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    flat = {}
+    for k, v in batch.items():
+        if isinstance(v, dict):
+            flat.update(_flatten(v, prefix + k + "."))
+        else:
+            flat[prefix + k] = v
+    return flat
+
+
+def _unflatten(flat: Dict[str, Any]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in flat.items():
+        parts = k.split(".")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return out
+
+
 def decode_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     """Device-side (jit-traceable): expand a compact batch; pass-through if
     the batch is already in standard form."""

@@ -66,7 +66,8 @@ class MeshContext:
     def __init__(self, mesh: Optional[Mesh] = None, tensor_parallel: bool = False):
         self.mesh = mesh if mesh is not None else make_mesh(1)
         self.tp = tensor_parallel and self.mesh.shape["model"] > 1
-        self._batch_sharding_cache: Dict[int, Any] = {}
+        self._fusers: Dict[int, Any] = {}
+        self._unfuse_jits: Dict[int, Any] = {}
 
     @property
     def n_data(self) -> int:
@@ -119,3 +120,35 @@ class MeshContext:
             return jax.device_put(x, repl)
 
         return jax.tree.map(place, batch)
+
+    def fused_shard_batch(self, batch: Dict[str, Any]):
+        """One-DMA batch transfer: pack all arrays into a single per-sample
+        byte buffer on host, ship it sharded over 'data', unfuse on device
+        (data/encoding.BatchFuser).  Falls back to per-leaf placement when
+        the batch dim doesn't divide the data axis (ragged eval cases are
+        padded upstream, so this is rare)."""
+        import numpy as np
+
+        from druglamp_tpu.data.encoding import BatchFuser
+
+        B = batch["labels"].shape[0]
+        if B % self.n_data != 0 or any(
+                not hasattr(v, "shape") for v in batch.values()):
+            return self.shard_batch(batch)
+        key = B
+        fuser = self._fusers.get(key)
+        if fuser is None or [k for k, *_ in fuser.spec] != sorted(
+                self._flat_keys(batch)):
+            fuser = BatchFuser(batch)
+            unfuse = jax.jit(fuser.unfuse)
+            self._fusers[key] = fuser
+            self._unfuse_jits[key] = unfuse
+        buf = fuser.fuse(batch)
+        dev = jax.device_put(buf, NamedSharding(self.mesh, P("data")))
+        return self._unfuse_jits[key](dev)
+
+    @staticmethod
+    def _flat_keys(batch):
+        from druglamp_tpu.data.encoding import _flatten
+
+        return sorted(_flatten(batch).keys())

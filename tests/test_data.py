@@ -161,3 +161,35 @@ def test_compact_encoding_roundtrip(human_val):
                 "p_fill", "d_fill", "labels"):
         np.testing.assert_array_equal(np.asarray(dec[key]), std[key],
                                       err_msg=key)
+
+
+def test_fused_transfer_roundtrip(human_val):
+    """fuse → device → unfuse reproduces the compact batch exactly, and the
+    fused+decoded batch matches the standard batch through decode_batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from druglamp_tpu.data.encoding import BatchFuser, decode_batch
+    from druglamp_tpu.parallel.mesh import MeshContext, make_mesh
+
+    cmp_ = next(BatchLoader(human_val, 8, shuffle=False, drop_last=True,
+                            prefetch=0, compact=True, include_llm=False).epoch(0))
+    fuser = BatchFuser(cmp_)
+    buf = fuser.fuse(cmp_)
+    assert buf.dtype == np.uint8 and buf.shape[0] == 8
+    rec = jax.jit(fuser.unfuse)(jnp.asarray(buf))
+    flat_in = {k: v for k, v in cmp_.items() if not isinstance(v, dict)}
+    for k, v in flat_in.items():
+        np.testing.assert_array_equal(np.asarray(rec[k]), v, err_msg=k)
+    for k, v in cmp_["cm"].items():
+        np.testing.assert_array_equal(np.asarray(rec["cm"][k]), v, err_msg=k)
+
+    # through the mesh helper (8-way data sharding)
+    ctx = MeshContext(make_mesh(1))
+    dev = ctx.fused_shard_batch(cmp_)
+    std = next(BatchLoader(human_val, 8, shuffle=False, drop_last=True,
+                           prefetch=0, compact=False, include_llm=False).epoch(0))
+    dec = jax.jit(decode_batch)(dev)
+    np.testing.assert_array_equal(np.asarray(dec["drug_adj"]), std["drug_adj"])
+    np.testing.assert_array_equal(np.asarray(dec["vp"]), std["vp"])
+    np.testing.assert_array_equal(np.asarray(dec["p_fill"]), std["p_fill"])
