@@ -154,3 +154,18 @@ def test_gcn_matches_torch_scatter_message_passing():
     h = torch.stack(outs).view(B * N, C)
     h = F.batch_norm(h, None, None, training=True, eps=1e-5).view(B, N, C)
     np.testing.assert_allclose(out, h.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_gain_layernorm_matches_reference_formula():
+    """Gain-only LN: biased variance, eps by dtype (basic_model.py:37-46)."""
+    from druglamp_tpu.nn.norms import GainLayerNorm
+
+    x = np.random.RandomState(0).randn(4, 10, 16).astype(np.float32)
+    m = GainLayerNorm(dim=16)
+    v = m.init(jax.random.key(0), jnp.asarray(x))
+    out = np.asarray(m.apply(v, jnp.asarray(x)))
+    xt = torch.tensor(x)
+    var = xt.var(dim=-1, unbiased=False, keepdim=True)
+    mean = xt.mean(dim=-1, keepdim=True)
+    ref = ((xt - mean) * (var + 1e-5).rsqrt()).numpy()  # g init = ones
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
