@@ -138,6 +138,7 @@ class DTIDataset:
         self.table = table if table is not None else build_entity_table(
             dataset_dir, split, max_nodes, max_prot_resis, seq_len)
         self.max_nodes = max_nodes
+        self.max_prot_resis = max_prot_resis
         self.seq_len = seq_len
 
         self.drug_ords = np.array([self.table.drug2ord[r["SMILES"]] for r in self.rows],

@@ -158,6 +158,19 @@ def decode_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     out["p_fill"] = (jnp.arange(L)[None, :] >= batch["p_fill_start"][:, None]
                      ).astype(jnp.float32)
     out["d_fill"] = (idx[None, :] >= batch["d_ntok"][:, None]).astype(jnp.float32)
+    if "xp_src" in batch:
+        # device-side repeat_pad: position p takes src row (p mod span) while
+        # p < quot*span, else 0  (span = xp_len rows, quot = L // span)
+        src = batch["xp_src"]                                 # (B, Lp, D)
+        span = jnp.maximum(batch["xp_len"], 1)[:, None]       # (B, 1)
+        pos = jnp.arange(L)[None, :]                          # (1, L)
+        quot = L // span
+        r = pos % span
+        valid = pos < quot * span
+        gathered = jnp.take_along_axis(src, r[:, :, None], axis=1)
+        out["xp"] = jnp.where(valid[:, :, None], gathered,
+                              jnp.zeros((), src.dtype))
+        del out["xp_src"], out["xp_len"]
     for k in ("drug_adj_packed", "n_atoms", "p_fill_start", "d_ntok"):
         del out[k]
     return out

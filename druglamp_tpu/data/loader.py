@@ -123,7 +123,13 @@ class BatchLoader:
         }
         if self.include_llm:
             batch["xd"] = np.zeros((B, N, nd), self.llm_dtype)
-            batch["xp"] = np.zeros((B, L, np_), self.llm_dtype)
+            if self.compact:
+                # untiled embedding rows; tiling happens on device (decode)
+                src_len = ds.max_prot_resis + 2
+                batch["xp_src"] = np.zeros((B, src_len, np_), self.llm_dtype)
+                batch["xp_len"] = np.zeros((B,), np.int32)
+            else:
+                batch["xp"] = np.zeros((B, L, np_), self.llm_dtype)
         from druglamp_tpu.chem import native as _native
 
         use_native = _native.available()
@@ -161,7 +167,11 @@ class BatchLoader:
                 batch["xd"][b, :t] = demb[:t]
                 pemb = self.emb.prot(pord)      # (Lp, np)
                 lp = pemb.shape[0]
-                if lp > 0:
+                if self.compact:
+                    lp = min(lp, batch["xp_src"].shape[1])
+                    batch["xp_src"][b, :lp] = pemb[:lp]
+                    batch["xp_len"][b] = lp
+                elif lp > 0:
                     quot = L // lp
                     for j in range(quot):
                         batch["xp"][b, j * lp : (j + 1) * lp] = pemb

@@ -193,3 +193,33 @@ def test_fused_transfer_roundtrip(human_val):
     np.testing.assert_array_equal(np.asarray(dec["drug_adj"]), std["drug_adj"])
     np.testing.assert_array_equal(np.asarray(dec["vp"]), std["vp"])
     np.testing.assert_array_equal(np.asarray(dec["p_fill"]), std["p_fill"])
+
+
+def test_device_side_xp_tiling(tmp_path):
+    """Compact xp_src + device tiling == host repeat_pad tiling exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from druglamp_tpu.data.cache import EmbeddingCache
+    from druglamp_tpu.data.encoding import decode_batch
+
+    ds = DTIDataset(DATA_ROOT, "human", "random", "val.csv",
+                    max_nodes=512, seq_len=2304, cutoff=8)
+    cache = EmbeddingCache(str(tmp_path), "human", 16, 24)
+    r = np.random.RandomState(0)
+    for o in range(ds.table.n_drug):
+        cache.put_drug(o, r.rand(5, 16).astype(np.float32))
+    for o in range(ds.table.n_prot):
+        L = int(np.random.RandomState(o).randint(50, 1024))
+        cache.put_prot(o, r.rand(L, 24).astype(np.float32))
+
+    std = next(BatchLoader(ds, 8, shuffle=False, drop_last=True, prefetch=0,
+                           embeddings=cache, compact=False,
+                           llm_dtype=np.float32).epoch(0))
+    cmp_ = next(BatchLoader(ds, 8, shuffle=False, drop_last=True, prefetch=0,
+                            embeddings=cache, compact=True,
+                            llm_dtype=np.float32).epoch(0))
+    assert "xp_src" in cmp_ and "xp" not in cmp_
+    dec = jax.jit(decode_batch)(jax.tree.map(jnp.asarray, cmp_))
+    np.testing.assert_allclose(np.asarray(dec["xp"]), std["xp"], rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(dec["xd"]), std["xd"])
