@@ -56,6 +56,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-model", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--grad-mode", type=str, default=None,
                    choices=["per_loss", "legacy_aliased"])
+    p.add_argument("--compute-dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype (default bfloat16; use float32 "
+                        "for reference-parity studies)")
     p.add_argument("--gen-embed", action="store_true",
                    help="generate frozen-encoder embedding caches before training")
     p.add_argument("--resume", action="store_true",
@@ -95,6 +99,8 @@ def main(argv=None) -> int:
         overrides["solver.eval_batch_size"] = args.eval_batch_size
     if args.grad_mode:
         overrides["solver.grad_mode"] = args.grad_mode
+    if args.compute_dtype:
+        overrides["solver.compute_dtype"] = args.compute_dtype
     if args.split in ("cluster", "Tcpi"):
         overrides["rs.task"] = True
     cfg = load_config(builtin_config_path(args.model), overrides)

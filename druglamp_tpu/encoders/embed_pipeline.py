@@ -33,7 +33,11 @@ from druglamp_tpu.encoders.chemberta import ChemBERTa, ChemBERTaConfig
 from druglamp_tpu.encoders.esm2 import (ESM2, ESM_PAD, esm2_config_for_layers,
                                         esm_tokenize)
 
-_BUCKETS = (128, 256, 512, 1024, 1032)
+# Length buckets trade padding waste against compile count.  On hosts where
+# compilation is expensive (remote-compile TPU attachments) one bucket is the
+# right default — encoder FLOPs at these sizes are trivial next to a compile.
+# Set finer buckets (e.g. (128, 256, 512, 1032)) when compiles are cheap.
+_BUCKETS = (1032,)
 
 
 def _bucket(n: int) -> int:
