@@ -77,6 +77,10 @@ class BatchLoader:
         # reads them.  LLM arrays ship as bfloat16 by default (half the
         # host→device traffic; the model computes in bf16 anyway).
         self.include_llm = include_llm
+        # eval loaders (shuffle=False) re-assemble identical batches every
+        # epoch; cache them after the first pass
+        self.cache_batches = not shuffle
+        self._batch_cache: Optional[list] = None
         # compact=True ships the bit-packed/int8 batch form (decoded on
         # device inside the jitted step; see data/encoding.py) — ~6x fewer
         # host→device bytes
@@ -188,6 +192,18 @@ class BatchLoader:
         return batch
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        if self.cache_batches and self._batch_cache is not None:
+            yield from self._batch_cache
+            return
+        collected = [] if self.cache_batches else None
+        for batch in self._epoch_uncached(epoch):
+            if collected is not None:
+                collected.append(batch)
+            yield batch
+        if collected is not None:
+            self._batch_cache = collected
+
+    def _epoch_uncached(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         order = self._order(epoch)
         n = len(order)
         bs = self.batch_size

@@ -223,3 +223,17 @@ def test_device_side_xp_tiling(tmp_path):
     dec = jax.jit(decode_batch)(jax.tree.map(jnp.asarray, cmp_))
     np.testing.assert_allclose(np.asarray(dec["xp"]), std["xp"], rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(dec["xd"]), std["xd"])
+
+
+def test_eval_batch_cache(human_val):
+    loader = BatchLoader(human_val, 16, shuffle=False, drop_last=False, prefetch=0)
+    a = list(loader.epoch(0))
+    assert loader._batch_cache is not None
+    b = list(loader.epoch(5))   # cached: epoch index ignored for eval loaders
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x is y
+    # shuffled loaders never cache
+    tr = BatchLoader(human_val, 16, shuffle=True, drop_last=True, prefetch=0)
+    list(tr.epoch(0))
+    assert tr._batch_cache is None
