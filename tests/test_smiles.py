@@ -139,3 +139,23 @@ def test_dataset_smiles_parse():
     for row in rows:
         mol = parse_smiles(row["SMILES"])
         assert mol.num_atoms >= 1
+
+
+def test_parser_fuzz_no_crashes():
+    """Random token soup either parses or raises SmilesError — never crashes."""
+    import random
+
+    rng = random.Random(0)
+    alphabet = list("CNOSPFIclnos()[]=#123456789@+-\\/.%Br")
+    ok = err = 0
+    for _ in range(3000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 30)))
+        try:
+            parse_smiles(s)
+            ok += 1
+        except SmilesError:
+            err += 1
+        except RecursionError:
+            raise AssertionError(f"recursion blowup on {s!r}")
+    assert ok + err == 3000
+    assert ok > 0 and err > 0
