@@ -138,6 +138,12 @@ def main(argv=None) -> int:
             from druglamp_tpu.encoders.embed_pipeline import generate_embeddings
 
             generate_embeddings(train_ds.table, cache, n_layer=args.n_layer)
+            # LLM-dim sidecar for reference-workflow familiarity
+            # (handler/dataset.py:107-117 writes configs/{n}_layers_params.txt)
+            sidecar = os.path.join(work_dir, f"{args.n_layer}_layers_params.txt")
+            if not os.path.exists(sidecar):
+                with open(sidecar, "w") as f:
+                    f.write(f"{n_drug_feature}\t{n_prot_feature}\n")
         missing = [o for o in range(train_ds.table.n_drug) if not cache.has_drug(o)]
         if missing:
             print(f"[warn] {len(missing)} drug embeddings missing from {cache_dir}; "
