@@ -1,0 +1,44 @@
+"""Inference throughput: jitted DrugLAMP forward (eval mode), pairs/s/chip.
+
+Complements bench.py (train step) for the 'train+infer' north star.
+    PYTHONPATH=. python tools/infer_bench.py [batch ...]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from druglamp_tpu.config import Config
+from druglamp_tpu.models.registry import build_model
+from druglamp_tpu.utils.jaxsetup import enable_compilation_cache
+from druglamp_tpu.utils.synthetic import make_batch
+
+
+def bench(batch_size: int) -> float:
+    cfg = Config()
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size,
+                                                 n_drug_feature=384,
+                                                 n_prot_feature=640))
+    model = build_model("DrugLAMP", cfg)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           batch, jax.random.key(2), method="init_all")
+    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False)["score"])
+    out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+if __name__ == "__main__":
+    enable_compilation_cache()
+    sizes = [int(a) for a in sys.argv[1:]] or [16, 64]
+    for bs in sizes:
+        print(f"inference bs={bs}: {bench(bs):.0f} pairs/s")
