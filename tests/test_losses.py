@@ -129,3 +129,55 @@ def test_legacy_protein_features():
     assert pf.shape == (4, 54)
     # PSSM column for pos 0: A appears 2/3 with pseudocounts
     assert pf[0, 0] == pytest.approx((2 + 0.2) / (3 + 0.8))
+
+
+def test_cm_triplet_dense_matches_loop_reference():
+    """Masked dense triplet loss == explicit per-protein loop enumeration
+    (reference cross_modality.py:15-47 semantics, incl. protein-anchor
+    fallback and triplet-count normalization)."""
+    import itertools
+
+    from druglamp_tpu.models.cm import triplet_loss
+
+    r = np.random.RandomState(0)
+    for trial in range(5):
+        P = D = 8
+        n_p = r.randint(2, 8)
+        n_d = r.randint(2, 8)
+        p_lats = r.randn(P, 16).astype(np.float32)
+        d_lats = r.randn(D, 16).astype(np.float32)
+        p_lats /= np.linalg.norm(p_lats, axis=1, keepdims=True)
+        d_lats /= np.linalg.norm(d_lats, axis=1, keepdims=True)
+        gt = np.full((P, D), -1.0, np.float32)
+        gt[:n_p, :n_d] = (r.rand(n_p, n_d) < 0.4).astype(np.float32)
+        p_valid = np.arange(P) < n_p
+        d_valid = np.arange(D) < n_d
+        margin = 0.37
+
+        def sigdist(a, b):
+            cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                                     * np.linalg.norm(b, axis=-1))
+            return 1.0 - 1.0 / (1.0 + np.exp(-cos))
+
+        total, n_tri = 0.0, 0
+        for i in range(n_p):
+            pos = [j for j in range(n_d) if gt[i, j] == 1]
+            neg = [j for j in range(n_d) if gt[i, j] == 0]
+            if pos and neg:
+                n_tri += len(pos) * len(neg)
+                for jp, jn in itertools.product(pos, neg):
+                    dp = sigdist(p_lats[i], d_lats[jp])
+                    dn = sigdist(p_lats[i], d_lats[jn])
+                    total += max(0.0, dp - dn + margin)
+            elif neg:
+                n_tri += len(neg)
+                dp = sigdist(p_lats[i], p_lats[i])
+                for jn in neg:
+                    dn = sigdist(p_lats[i], d_lats[jn])
+                    total += max(0.0, dp - dn + margin)
+        expected = total / max(n_tri, 1)
+
+        got = float(triplet_loss(jnp.asarray(p_lats), jnp.asarray(d_lats),
+                                 jnp.asarray(p_valid), jnp.asarray(d_valid),
+                                 jnp.asarray(gt), margin))
+        assert got == pytest.approx(expected, rel=1e-5), (trial, got, expected)
