@@ -125,3 +125,39 @@ def test_tokenizer_encode_roundtrip():
     assert ids[0] == tok.cls_id and ids[-1] == tok.sep_id
     ids2 = tok.encode("CCO")
     assert ids2[0] == tok.cls_id and ids2[-1] == tok.sep_id and len(ids2) == 5
+
+
+def test_featurization_frozen_golden_hashes():
+    """Hash-locked featurization of real dataset entities: any change to the
+    parser/featurizer that alters outputs must update these deliberately."""
+    import csv
+    import hashlib
+    import os
+
+    path = "/root/reference/datasets/human/random/val.csv"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("datasets not mounted")
+    rows = list(csv.DictReader(open(path)))[:12]
+    FEATURE_HASHES = {
+        0: "5013252af2620d1444480a793614166c",
+        1: "1f44ba183022fa4318f2fc81578fc6aa",
+        2: "2537b21479f0d951df1c505ba7210a5c",
+        3: "e2a85fb9bff847c22783d2140c83532e",
+        4: "9d0cd4abb74cbfb108be55cbb58dede5",
+        5: "dfca91f857e787526af99d515fb32dcf",
+    }
+    for i, h in FEATURE_HASHES.items():
+        g = drug_graph_arrays(rows[i]["SMILES"], 512)
+        got = hashlib.md5(g["node_feats"].tobytes() + g["adj"].tobytes()).hexdigest()
+        assert got == h, (i, rows[i]["SMILES"])
+    PROT_HASHES = {
+        0: "bd3990dfa4ab3902cafaad52878230e0",
+        1: "e55e511dd7e854679c8ae58480938954",
+        2: "1a4e371376f729b7805669d419ad467e",
+    }
+    for i, h in PROT_HASHES.items():
+        enc = repeat_integer_label_protein(rows[i]["Protein"], 1022)
+        got = hashlib.md5(np.asarray(enc, np.int32).tobytes()).hexdigest()
+        assert got == h, i
