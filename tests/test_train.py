@@ -257,3 +257,41 @@ def test_per_loss_grads_match_independent_grads():
     for a, b in zip(jax.tree.leaves(g_ssl_v), jax.tree.leaves(g_ssl)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_train_step_on_compact_llm_batch(tmp_path):
+    """Full 2C2P train step consuming the compact (fused-able) batch form
+    with xp_src device-side tiling — the exact path of full-model CLI runs."""
+    import jax
+
+    from druglamp_tpu.data.cache import EmbeddingCache
+    from druglamp_tpu.data.encoding import decode_batch
+
+    root = _make_csv_dataset(tmp_path)
+    cfg = _tiny_training_cfg(ssl=True, cm=True)
+    kw = dict(max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
+              max_prot_resis=cfg.protein.max_resis)
+    ds = DTIDataset(root, "toy", "random", "train.csv", **kw)
+    cache = EmbeddingCache(str(tmp_path / "emb"), "toy", 24, 40)
+    r = np.random.RandomState(0)
+    for o in range(ds.table.n_drug):
+        cache.put_drug(o, r.rand(7, 24).astype(np.float32))
+    for o in range(ds.table.n_prot):
+        cache.put_prot(o, r.rand(20, 40).astype(np.float32))
+    loader = BatchLoader(ds, 4, shuffle=False, drop_last=True, prefetch=0,
+                         embeddings=cache, compact=True)
+    batch = next(loader.epoch(0))
+    jb = jax.tree.map(jnp.asarray, batch)
+
+    model = build_model("DrugLAMP2C2P", cfg, 24, 40)
+    example = decode_batch(jb)
+    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                           example, jax.random.key(2), method="init_all")
+    state = TrainState.create(variables, use_ssl=True, use_cm=True)
+    step = make_train_step(model, use_ssl=True, use_cm=True, calibrate=True)
+    out = step(state, jb, jax.random.key(3), jnp.float32(1e-3),
+               jnp.float32(3e-4), jnp.float32(1e-4), jnp.float32(0.5),
+               jnp.float32(1.0))
+    assert np.isfinite(float(out.cls_loss))
+    assert np.isfinite(float(out.ssl_loss))
+    assert np.isfinite(float(out.cm_loss))
