@@ -107,6 +107,13 @@ def main(argv=None) -> int:
 
     np.random.seed(cfg.solver.seed)
 
+    from druglamp_tpu.chem import native as _native
+
+    if not _native.available():
+        print("[info] native featurization runtime not built "
+              "(`make -C native`); using the pure-Python fallback",
+              file=sys.stderr)
+
     timestamp = time.strftime("%m%d_%H%M%S")
     exp_name = f"{args.data}-{args.split}-{args.model}-seed{args.seed}-{timestamp}"
     work_dir = args.work_dir or os.path.join(cfg.result.output_dir, exp_name)
