@@ -125,3 +125,41 @@ def test_distributed_noop_without_config(monkeypatch):
     assert distributed.maybe_initialize_distributed() is False
     assert distributed.process_count() == 1
     assert distributed.is_primary()
+
+
+def test_trainer_evaluate_fused_mesh_matches_plain(tmp_path):
+    """Trainer.evaluate with the fused 8-way-sharded transfer equals the
+    unsharded path (same probs → same metrics)."""
+    from druglamp_tpu.config import RSConfig, SolverConfig
+    from druglamp_tpu.data.cache import ZeroEmbeddings
+    from druglamp_tpu.data.dataset import DTIDataset
+    from druglamp_tpu.data.loader import BatchLoader
+    from druglamp_tpu.train.trainer import Trainer
+    from tests.test_train import _make_csv_dataset
+    from tests.util import tiny_config
+
+    root = _make_csv_dataset(tmp_path)
+    cfg = tiny_config(solver=SolverConfig(max_epoch=1, batch_size=8,
+                                          compute_dtype="float32"),
+                      rs=RSConfig())
+    kw = dict(max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
+              max_prot_resis=cfg.protein.max_resis)
+    ds = DTIDataset(root, "toy", "random", "train.csv", **kw)
+    emb = ZeroEmbeddings(24, 40)
+    mk = lambda compact: BatchLoader(ds, 8, shuffle=False, drop_last=True,
+                                     embeddings=emb, prefetch=0,
+                                     include_llm=False, compact=compact)
+    model = build_model("DrugLAMPwoLLM", cfg, 24, 40)
+
+    tr_plain = Trainer(model, cfg, mk(False), mk(False), mk(False),
+                       work_dir=str(tmp_path / "p"))
+    state = tr_plain.init_state(next(mk(False).epoch(0)), seed=3)
+    m_plain = tr_plain.evaluate(state, mk(False), full=True)
+
+    ctx = MeshContext(make_mesh(1))
+    tr_mesh = Trainer(model, cfg, mk(True), mk(True), mk(True),
+                      work_dir=str(tmp_path / "m"),
+                      shard_fn=ctx.fused_shard_batch)
+    m_mesh = tr_mesh.evaluate(state, mk(True), full=True)
+    for k in ("auroc", "auprc", "acc"):
+        assert m_mesh[k] == pytest.approx(m_plain[k], abs=1e-6), k
