@@ -232,12 +232,15 @@ class Trainer:
 
     def evaluate(self, state: TrainState, loader: BatchLoader, full: bool) -> Dict[str, float]:
         collector = MetricCollector()
-        losses = []
+        pending = []   # defer host syncs: dispatch all eval batches first
         for batch in loader.epoch(0):
             jb = self.shard_fn(batch)
             probs, loss = self.eval_step(state.params, state.batch_stats, jb)
-            valid = batch["valid"].astype(bool)
-            collector.update(np.asarray(probs)[valid], batch["labels"][valid])
+            pending.append((probs, loss, batch["valid"].astype(bool),
+                            batch["labels"]))
+        losses = []
+        for probs, loss, valid, labels in pending:
+            collector.update(np.asarray(probs)[valid], labels[valid])
             losses.append(float(loss))
         m = collector.compute(full=full)
         m["loss"] = float(np.mean(losses)) if losses else float("nan")
