@@ -34,3 +34,29 @@ def test_overrides():
     cfg = load_config(builtin_config_path("DrugLAMP"), {"solver.seed": 41, "rs.task": True})
     assert cfg.solver.seed == 41
     assert cfg.rs.task is True
+
+
+def test_unknown_yaml_keys_raise(tmp_path):
+    import pytest
+    import yaml
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(yaml.dump({"SOLVER": {"NOT_A_KEY": 1}}))
+    with pytest.raises(KeyError, match="NOT_A_KEY"):
+        load_config(str(bad))
+    bad2 = tmp_path / "bad2.yaml"
+    bad2.write_text(yaml.dump({"NOTASECTION": {}}))
+    with pytest.raises(KeyError, match="NOTASECTION"):
+        load_config(str(bad2))
+
+
+def test_override_unknown_raises():
+    import pytest
+
+    with pytest.raises(KeyError):
+        load_config(None, {"solver.not_a_field": 1})
+
+
+def test_scientific_notation_lr():
+    cfg = load_config(builtin_config_path("DrugLAMP"), {"solver.lr": "3e-5"})
+    assert cfg.solver.lr == 3e-5
