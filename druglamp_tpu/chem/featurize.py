@@ -25,7 +25,7 @@ product), keeping host→device traffic small and the normalize step fused.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -10,7 +10,7 @@ multiple-alignment file.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 

@@ -15,7 +15,7 @@ runs before the encoder caches exist.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -21,7 +21,7 @@ axis before calling (the encoder's Dense kernels carry logical axis names).
 from __future__ import annotations
 
 import sys
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

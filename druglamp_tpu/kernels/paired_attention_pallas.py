@@ -25,8 +25,6 @@ Numerics: logits/softmax in fp32 regardless of input dtype.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

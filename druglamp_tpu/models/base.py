@@ -13,7 +13,7 @@ Reference model/basic_model.py:57-121 (DrugLAMPBase).  Differences by design:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

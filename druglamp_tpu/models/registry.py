@@ -3,7 +3,7 @@ reference model/model_interface.py:10-34, with an explicit mapping)."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, Type
+from typing import Dict, Type
 
 import jax.numpy as jnp
 

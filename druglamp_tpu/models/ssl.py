@@ -15,8 +15,6 @@ xd: n_drug_feature+1), so they are built eagerly.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

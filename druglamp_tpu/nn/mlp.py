@@ -2,11 +2,8 @@
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from druglamp_tpu.nn.layers import TorchBatchNorm, TorchDense
 

@@ -24,7 +24,7 @@ K/V load and never materialize probabilities in HBM) with a jnp fallback.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

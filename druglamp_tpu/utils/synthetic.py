@@ -1,7 +1,5 @@
 """Shared test helpers: tiny config + synthetic fixed-shape batches."""
 
-from dataclasses import replace
-
 import numpy as np
 
 from druglamp_tpu.config import Config, DecoderConfig, DrugConfig, ProteinConfig
