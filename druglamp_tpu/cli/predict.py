@@ -33,6 +33,11 @@ def main(argv=None) -> int:
     if not rows:
         print("error: empty input", file=sys.stderr)
         return 2
+    missing = {"SMILES", "Protein"} - set(rows[0].keys())
+    if missing:
+        print(f"error: input CSV missing column(s): {', '.join(sorted(missing))}",
+              file=sys.stderr)
+        return 2
     pairs = [(r["SMILES"], r["Protein"]) for r in rows]
 
     predictor = Predictor.from_checkpoint(args.ckpt, args.model, which=args.which,
