@@ -70,9 +70,11 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
-    from druglamp_tpu.utils.jaxsetup import enable_compilation_cache
+    from druglamp_tpu.utils.jaxsetup import (apply_platform_env,
+                                             enable_compilation_cache)
     from druglamp_tpu.parallel.distributed import maybe_initialize_distributed
 
+    apply_platform_env()
     enable_compilation_cache()
     maybe_initialize_distributed()
 
@@ -124,8 +126,21 @@ def main(argv=None) -> int:
     kw = dict(max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
               max_prot_resis=cfg.protein.max_resis, cutoff=args.cutoff)
     if cfg.rs.task:
+        # Reference RS-task wiring reads source_train.csv (main.py:81-83).
+        # Some checkouts ship only target_train.csv for a cluster split
+        # (e.g. biosnap/cluster); fall back to it so the shipped data runs.
+        train_file = "source_train.csv"
+        if not os.path.exists(os.path.join(
+                args.data_root, args.data, args.split, train_file)):
+            alt = os.path.join(args.data_root, args.data, args.split,
+                               "target_train.csv")
+            if os.path.exists(alt):
+                print(f"[warn] source_train.csv missing for {args.data}/"
+                      f"{args.split}; training on target_train.csv",
+                      file=sys.stderr)
+                train_file = "target_train.csv"
         train_ds = DTIDataset(args.data_root, args.data, args.split,
-                              "source_train.csv", **kw)
+                              train_file, **kw)
         val_ds = DTIDataset(args.data_root, args.data, args.split,
                             "target_test.csv", table=train_ds.table, **kw)
         test_ds = val_ds

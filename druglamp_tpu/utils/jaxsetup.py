@@ -5,6 +5,25 @@ from __future__ import annotations
 import os
 
 
+def apply_platform_env() -> None:
+    """Re-apply the JAX_PLATFORMS env var as a config update.
+
+    Some containers bootstrap an accelerator plugin from sitecustomize and
+    pin ``jax_platforms`` programmatically at interpreter start, which
+    silently overrides the env var; re-applying it here makes
+    ``JAX_PLATFORMS=cpu python -m druglamp_tpu.cli.main ...`` behave as
+    documented.  Must run before the first backend use.
+    """
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     """Enable the persistent compilation cache (huge win on remote-compile
     TPU attachments where a cold compile of the train step takes minutes)."""
