@@ -133,12 +133,14 @@ class Config:
     comet: CometConfig = field(default_factory=CometConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     n_hidden: int = 128
+    pmma_dropout: float = 0.1    # PMMA embed/MLP dropout (0.0 for parity studies)
 
     @property
     def pmma(self) -> PMMAConfig:
         # feat_len/mol_len = the site-pooled sequence length (256 by default)
-        return PMMAConfig.for_hidden(self.n_hidden,
+        base = PMMAConfig.for_hidden(self.n_hidden,
                                      self.protein.seq_len // self.protein.site_len)
+        return dataclasses.replace(base, dropout_rate=self.pmma_dropout)
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
