@@ -56,6 +56,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-model", type=int, default=1, help="tensor-parallel size")
     p.add_argument("--grad-mode", type=str, default=None,
                    choices=["per_loss", "legacy_aliased"])
+    p.add_argument("--scan-chunk", type=int, default=None,
+                   help="steps per device dispatch in the epoch-in-scan "
+                        "driver (0 = per-step dispatch)")
+    p.add_argument("--bn-mode", type=str, default=None,
+                   choices=["global", "per_replica"],
+                   help="BN batch-stat scope under DP (per_replica = "
+                        "torch-DDP emulation)")
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (default bfloat16; use float32 "
@@ -101,6 +108,10 @@ def main(argv=None) -> int:
         overrides["solver.eval_batch_size"] = args.eval_batch_size
     if args.grad_mode:
         overrides["solver.grad_mode"] = args.grad_mode
+    if args.bn_mode:
+        overrides["solver.bn_mode"] = args.bn_mode
+    if args.scan_chunk is not None:
+        overrides["solver.scan_chunk"] = args.scan_chunk
     if args.compute_dtype:
         overrides["solver.compute_dtype"] = args.compute_dtype
     if args.split in ("cluster", "Tcpi"):
@@ -188,10 +199,12 @@ def main(argv=None) -> int:
                               embeddings=embeddings, include_llm=needs_llm,
                               compact=True)
 
-    model = build_model(args.model, cfg, n_drug_feature, n_prot_feature)
-
     mesh_ctx = MeshContext(make_mesh(args.mesh_model),
                            tensor_parallel=args.mesh_model > 1)
+
+    bn_groups = mesh_ctx.n_data if cfg.solver.bn_mode == "per_replica" else 1
+    model = build_model(args.model, cfg, n_drug_feature, n_prot_feature,
+                        bn_groups=bn_groups)
 
     logger = ExperimentLogger(
         cfg.result.output_dir, exp_name,
@@ -205,7 +218,8 @@ def main(argv=None) -> int:
 
     trainer = Trainer(model, cfg, train_loader, val_loader, test_loader,
                       logger=logger, work_dir=work_dir,
-                      shard_fn=mesh_ctx.fused_shard_batch)
+                      shard_fn=mesh_ctx.fused_shard_batch,
+                      stacked_shard_fn=mesh_ctx.shard_stacked_batch)
     example = next(train_loader.epoch(0))
     metrics = trainer.run_experiment(example, seed=cfg.solver.seed, resume=args.resume)
     print({f"test_{k}": round(v, 5) for k, v in metrics.items()})

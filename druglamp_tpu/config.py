@@ -68,6 +68,15 @@ class SolverConfig:
                                  # grads) or 'legacy_aliased' (replicates the reference
                                  # trainer.py:198-229 zero_grad overwrite semantics,
                                  # where later backward passes wipe earlier grads)
+    scan_chunk: int = 64         # steps per device dispatch in the epoch-in-scan
+                                 # train driver (0 = per-step dispatch). Scanning
+                                 # amortizes host dispatch latency — the dominant
+                                 # cost on tunneled TPU hosts — with bit-identical
+                                 # trajectories (tests/test_train.py)
+    bn_mode: str = "global"      # 'global' (BN stats over the full global batch) or
+                                 # 'per_replica' (stats per data shard, torch-DDP
+                                 # emulation — reference DDP never syncs BN,
+                                 # trainer.py:147; SURVEY §7 hard parts)
 
 
 @dataclass(frozen=True)

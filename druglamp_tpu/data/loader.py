@@ -58,6 +58,17 @@ def build_cm_arrays(prot_ids, drug_ids, labels) -> Dict[str, np.ndarray]:
             "d_valid": d_valid, "gt": gt}
 
 
+def _tree_stack(batches):
+    """Stack a list of (possibly nested) batch dicts along a new axis 0."""
+    out = {}
+    for k, v in batches[0].items():
+        if isinstance(v, dict):
+            out[k] = _tree_stack([b[k] for b in batches])
+        else:
+            out[k] = np.stack([b[k] for b in batches])
+    return out
+
+
 class BatchLoader:
     """Epoch iterator yielding fixed-shape numpy batch dicts."""
 
@@ -202,6 +213,26 @@ class BatchLoader:
             yield batch
         if collected is not None:
             self._batch_cache = collected
+
+    def stacked_epoch(self, epoch: int,
+                      chunk: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield the epoch's batches stacked along a new leading step axis,
+        at most ``chunk`` steps per yield — the host-side feed for the
+        epoch-in-scan driver (train/steps.make_epoch_step), which runs a
+        whole chunk in ONE device dispatch."""
+        pending = []
+
+        def flush():
+            stacked = _tree_stack(pending)
+            pending.clear()
+            return stacked
+
+        for batch in self.epoch(epoch):
+            pending.append(batch)
+            if len(pending) >= chunk:
+                yield flush()
+        if pending:
+            yield flush()
 
     def _epoch_uncached(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         order = self._order(epoch)

@@ -45,6 +45,7 @@ class DrugLAMPBase(nn.Module):
     compute_dtype: Any = jnp.float32
     vis: bool = False                 # return PMMA attention maps (eval/vis)
     pmma_variant: str = "pmma"        # or 'linattn' (LinAttnEncoder alternative)
+    bn_groups: int = 1                # >1: per-replica BN stats (torch-DDP emulation)
 
     def setup(self):
         cfg = self.config
@@ -55,15 +56,16 @@ class DrugLAMPBase(nn.Module):
         self.drug_extractor = MolecularGCN(
             in_feats=cfg.drug.node_in_feats, dim_embedding=nh,
             hidden_feats=(nh,) * 3, padding=cfg.drug.padding,
-            dtype=self.compute_dtype)
+            dtype=self.compute_dtype, bn_groups=self.bn_groups)
         self.protein_extractor = ProteinCNN(
             embedding_dim=nh, num_filters=(nh,) * 3,
             kernel_size=tuple(cfg.protein.kernel_size), padding=cfg.protein.padding,
-            dtype=self.compute_dtype)
+            dtype=self.compute_dtype, bn_groups=self.bn_groups)
 
         self.ssl_model = SSL(prot_extractor=self.protein_extractor,
                              n_prot_feature=self.n_prot_feature,
-                             drug_ssl_type="simsiam", n_hidden=nh)
+                             drug_ssl_type="simsiam", n_hidden=nh,
+                             bn_groups=self.bn_groups)
         self.cm_model = CrossModality(hidden_size=nh)
 
         # Drug LLM adaptor
@@ -99,7 +101,8 @@ class DrugLAMPBase(nn.Module):
         self.mlp_classifier = MLPClassifier(in_dim=dec.in_dim * 2,
                                             hidden_dim=dec.hidden_dim * 2,
                                             out_dim=dec.out_dim * 2,
-                                            binary=dec.binary)
+                                            binary=dec.binary,
+                                            bn_groups=self.bn_groups)
 
     # --- shared forward pieces ---------------------------------------------
 

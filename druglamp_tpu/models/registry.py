@@ -26,9 +26,9 @@ def get_model_class(name: str) -> Type:
 
 def build_model(name: str, cfg: Config, n_drug_feature: int = 384,
                 n_prot_feature: int = 640, vis: bool = False,
-                pmma_variant: str = "pmma"):
+                pmma_variant: str = "pmma", bn_groups: int = 1):
     cls = get_model_class(name)
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.solver.compute_dtype]
     return cls(n_drug_feature=n_drug_feature, n_prot_feature=n_prot_feature,
                n_hidden=cfg.n_hidden, config=cfg, compute_dtype=dtype,
-               vis=vis, pmma_variant=pmma_variant)
+               vis=vis, pmma_variant=pmma_variant, bn_groups=bn_groups)

@@ -33,25 +33,31 @@ class SimSiamMLP(nn.Module):
 
     proj_out: int
     hidden_size: int = 512
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = TorchDense(self.hidden_size, use_bias=False, name="l1")(x)
-        x = nn.relu(TorchBatchNorm(name="bn1")(x, use_running_average=not train))
+        x = nn.relu(TorchBatchNorm(name="bn1", groups=self.bn_groups)(
+            x, use_running_average=not train))
         x = TorchDense(self.hidden_size, use_bias=False, name="l2")(x)
-        x = nn.relu(TorchBatchNorm(name="bn2")(x, use_running_average=not train))
+        x = nn.relu(TorchBatchNorm(name="bn2", groups=self.bn_groups)(
+            x, use_running_average=not train))
         x = TorchDense(self.proj_out, use_bias=False, name="l3")(x)
-        return TorchBatchNorm(affine=False, name="bn3")(x, use_running_average=not train)
+        return TorchBatchNorm(affine=False, name="bn3", groups=self.bn_groups)(
+            x, use_running_average=not train)
 
 
 class PredictorMLP(nn.Module):
     proj_out: int
     hidden_size: int
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = TorchDense(self.hidden_size, name="l1")(x)
-        x = nn.relu(TorchBatchNorm(name="bn")(x, use_running_average=not train))
+        x = nn.relu(TorchBatchNorm(name="bn", groups=self.bn_groups)(
+            x, use_running_average=not train))
         return TorchDense(self.proj_out, name="l2")(x)
 
 
@@ -81,14 +87,16 @@ class SSL(nn.Module):
     n_prot_feature: int
     drug_ssl_type: str = "simsiam"
     n_hidden: int = 128
+    bn_groups: int = 1
 
     def setup(self):
         self.to_logits = TorchDense(27)
         self.llm_to_logits = TorchDense(27)
-        self.net = SimSiamMLP(self.n_hidden)
-        self.llm_net = SimSiamMLP(self.n_hidden)
+        self.net = SimSiamMLP(self.n_hidden, bn_groups=self.bn_groups)
+        self.llm_net = SimSiamMLP(self.n_hidden, bn_groups=self.bn_groups)
         if self.drug_ssl_type == "simsiam":
-            self.predictor = PredictorMLP(self.n_hidden, self.n_hidden * 4)
+            self.predictor = PredictorMLP(self.n_hidden, self.n_hidden * 4,
+                                          bn_groups=self.bn_groups)
         self.temperature = 0.1
 
     def prot_mlm(self, seq, xp, fill_bit, mode: str, rng, train: bool = True):

@@ -44,6 +44,7 @@ def _init_transform_kernel(key, shape, dtype=jnp.float32):
 class GCNLayer(nn.Module):
     out_feats: int
     dtype: Optional[jnp.dtype] = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, adj_norm, train: bool = False):
@@ -64,7 +65,8 @@ class GCNLayer(nn.Module):
         # BatchNorm1d over flattened nodes (stats include virtual nodes,
         # matching the reference).
         B, N, C = h.shape
-        h = TorchBatchNorm(name="bn")(h.reshape(B * N, C), use_running_average=not train)
+        h = TorchBatchNorm(name="bn", groups=self.bn_groups)(
+            h.reshape(B * N, C), use_running_average=not train)
         return h.reshape(B, N, C).astype(x.dtype)
 
 
@@ -74,6 +76,7 @@ class MolecularGCN(nn.Module):
     hidden_feats: Sequence[int] = (128, 128, 128)
     padding: bool = True
     dtype: Optional[jnp.dtype] = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, node_feats, adj, degrees, train: bool = False):
@@ -88,5 +91,6 @@ class MolecularGCN(nn.Module):
         adj_norm = adj_norm.astype(self.dtype or x.dtype)
 
         for i, feats in enumerate(self.hidden_feats):
-            x = GCNLayer(feats, dtype=self.dtype, name=f"layer_{i}")(x, adj_norm, train=train)
+            x = GCNLayer(feats, dtype=self.dtype, bn_groups=self.bn_groups,
+                         name=f"layer_{i}")(x, adj_norm, train=train)
         return x

@@ -32,13 +32,17 @@ class MLPClassifier(nn.Module):
     hidden_dim: int = 1024
     out_dim: int = 256
     binary: int = 1
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = TorchBatchNorm(name="bn1")(_gelu(TorchDense(self.hidden_dim, name="fc1")(x)),
-                                       use_running_average=not train)
-        x = TorchBatchNorm(name="bn2")(_gelu(TorchDense(self.hidden_dim, name="fc2")(x)),
-                                       use_running_average=not train)
-        x = TorchBatchNorm(name="bn3")(_gelu(TorchDense(self.out_dim, name="fc3")(x)),
-                                       use_running_average=not train)
+        x = TorchBatchNorm(name="bn1", groups=self.bn_groups)(
+            _gelu(TorchDense(self.hidden_dim, name="fc1")(x)),
+            use_running_average=not train)
+        x = TorchBatchNorm(name="bn2", groups=self.bn_groups)(
+            _gelu(TorchDense(self.hidden_dim, name="fc2")(x)),
+            use_running_average=not train)
+        x = TorchBatchNorm(name="bn3", groups=self.bn_groups)(
+            _gelu(TorchDense(self.out_dim, name="fc3")(x)),
+            use_running_average=not train)
         return TorchDense(self.binary, name="fc4")(x)

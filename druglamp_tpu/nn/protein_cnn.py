@@ -24,6 +24,7 @@ class ProteinCNN(nn.Module):
     padding: bool = True
     vocab: int = 27
     dtype: Optional[jnp.dtype] = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, v, fill_mask, train: bool = False):
@@ -52,7 +53,7 @@ class ProteinCNN(nn.Module):
                 name=f"conv{i + 1}",
             )(x)
             x = nn.relu(x)
-            x = TorchBatchNorm(name=f"bn{i + 1}")(
+            x = TorchBatchNorm(name=f"bn{i + 1}", groups=self.bn_groups)(
                 x.astype(jnp.float32), use_running_average=not train
             ).astype(cdtype)
         return x

@@ -121,6 +121,20 @@ class MeshContext:
 
         return jax.tree.map(place, batch)
 
+    def shard_stacked_batch(self, stacked: Dict[str, Any]):
+        """Place a step-stacked batch (leading axis = scan step, axis 1 =
+        sample) with the sample axis sharded over 'data'.  One transfer per
+        leaf — per-transfer latency is already amortized by the stacking."""
+        data_s = NamedSharding(self.mesh, P(None, "data"))
+        repl = NamedSharding(self.mesh, P())
+
+        def place(x):
+            if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[1] % self.n_data == 0:
+                return jax.device_put(x, data_s)
+            return jax.device_put(x, repl)
+
+        return jax.tree.map(place, stacked)
+
     def fused_shard_batch(self, batch: Dict[str, Any]):
         """One-DMA batch transfer: pack all arrays into a single per-sample
         byte buffer on host, ship it sharded over 'data', unfuse on device

@@ -67,13 +67,13 @@ def _calibrate(cm_loss, cls_loss, w):
     return jax.lax.cond(cm_loss > 0, pos, lambda w: w, w)
 
 
-def make_train_step(model, use_ssl: bool, use_cm: bool, calibrate: bool = False,
-                    grad_mode: str = "per_loss", n_class: int = 1) -> Callable:
-    """Build the jitted train step for one gate combination."""
+def _make_step_body(model, use_ssl: bool, use_cm: bool, calibrate: bool,
+                    grad_mode: str, n_class: int) -> Callable:
+    """The un-jitted single-step transition shared by the per-step jit
+    (make_train_step) and the epoch-in-scan driver (make_epoch_step)."""
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch: Dict[str, Any], rng,
-                   lr_cls, lr_ssl, lr_cm, margin, cm_weight) -> StepOutput:
+    def step_body(state: TrainState, batch: Dict[str, Any], rng,
+                  lr_cls, lr_ssl, lr_cm, margin, cm_weight) -> StepOutput:
         batch = decode_batch(batch)
         drop1, drop2, mlm = jax.random.split(rng, 3)
 
@@ -139,7 +139,55 @@ def make_train_step(model, use_ssl: bool, use_cm: bool, calibrate: bool = False,
                                   opt_cm=opt_cm, step=state.step + 1)
         return StepOutput(new_state, cls_loss, ssl_loss, cm_loss, probs, w)
 
-    return train_step
+    return step_body
+
+
+def make_train_step(model, use_ssl: bool, use_cm: bool, calibrate: bool = False,
+                    grad_mode: str = "per_loss", n_class: int = 1) -> Callable:
+    """Build the jitted per-step train function for one gate combination."""
+    body = _make_step_body(model, use_ssl, use_cm, calibrate, grad_mode, n_class)
+    return functools.partial(jax.jit, donate_argnums=(0,))(body)
+
+
+class EpochOutput(NamedTuple):
+    state: TrainState
+    cls_losses: jnp.ndarray   # (S,)
+    ssl_losses: jnp.ndarray   # (S,)
+    cm_losses: jnp.ndarray    # (S,)
+    cm_weight: jnp.ndarray    # scalar, post-chunk
+    rng: jnp.ndarray          # advanced key for the next chunk
+
+
+def make_epoch_step(model, use_ssl: bool, use_cm: bool, calibrate: bool = False,
+                    grad_mode: str = "per_loss", n_class: int = 1) -> Callable:
+    """Build the jitted epoch-chunk function: ONE dispatch runs S train steps
+    via lax.scan over a stacked batch (leading axis = step).
+
+    Per-step dispatch is the dominant cost on tunneled/remote TPU hosts
+    (~100ms/step observed vs ~3ms device compute); scanning an epoch chunk
+    amortizes dispatch, the per-step scalar transfers, and the rng splits
+    into one call.  The rng/weight threading reproduces the per-step loop
+    exactly: carry (state, cm_weight, rng), body splits the carry rng the
+    same way Trainer.fit does, so loop mode and scan mode produce identical
+    trajectories (tests/test_train.py::test_scan_epoch_matches_loop).
+    """
+    body = _make_step_body(model, use_ssl, use_cm, calibrate, grad_mode, n_class)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_step(state: TrainState, stacked: Dict[str, Any], rng,
+                   lr_cls, lr_ssl, lr_cm, margin, cm_weight) -> EpochOutput:
+        def scan_body(carry, batch):
+            state, w, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            out = body(state, batch, step_rng, lr_cls, lr_ssl, lr_cm, margin, w)
+            return ((out.state, out.cm_weight, rng),
+                    (out.cls_loss, out.ssl_loss, out.cm_loss))
+
+        (state, w, rng), (cls_l, ssl_l, cm_l) = jax.lax.scan(
+            scan_body, (state, cm_weight, rng), stacked)
+        return EpochOutput(state, cls_l, ssl_l, cm_l, w, rng)
+
+    return epoch_step
 
 
 def make_eval_step(model, n_class: int = 1) -> Callable:

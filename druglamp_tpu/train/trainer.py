@@ -56,7 +56,8 @@ class Trainer:
     def __init__(self, model, cfg: Config, train_loader: BatchLoader,
                  val_loader: BatchLoader, test_loader: BatchLoader,
                  logger: Optional[ExperimentLogger] = None,
-                 work_dir: str = "results/run", shard_fn=None):
+                 work_dir: str = "results/run", shard_fn=None,
+                 stacked_shard_fn=None):
         self.model = model
         self.cfg = cfg
         self.train_loader = train_loader
@@ -66,6 +67,7 @@ class Trainer:
         self.work_dir = os.path.abspath(work_dir)
         os.makedirs(self.work_dir, exist_ok=True)
         self.shard_fn = shard_fn or (lambda b: b)
+        self.stacked_shard_fn = stacked_shard_fn or (lambda b: b)
 
         s = cfg.solver
         self.epochs = s.max_epoch
@@ -78,6 +80,8 @@ class Trainer:
                                            n_re=cfg.rs.reset_epoch)
 
         self._step_fns: Dict[Any, Any] = {}
+        self._epoch_fns: Dict[Any, Any] = {}
+        self.scan_chunk = getattr(s, "scan_chunk", 0)
         self.eval_step = make_eval_step(model, n_class=self.n_class)
 
         # host-side schedule counters (SSL/CM schedulers advance only on
@@ -139,30 +143,15 @@ class Trainer:
             lr_cm = self._lr(self.cfg.solver.cm_lr, self.cm_sched_steps)
             margin = self.margin_sched.margin
 
-            step_fn = self._get_step_fn(compute_ssl, compute_cm, calibrate)
             t0 = time.time()
-            # losses stay on device during the epoch (a float() per step would
-            # block the async dispatch pipeline); host conversion happens once
-            cls_l, ssl_l, cm_l = [], [], []
-            n_batches = 0
-            for batch in _device_prefetch(self.train_loader.epoch(epoch),
-                                          self.shard_fn):
-                rng, step_rng = jax.random.split(rng)
-                out = step_fn(state, batch, step_rng,
-                              jnp.float32(lr_cls), jnp.float32(lr_ssl),
-                              jnp.float32(lr_cm), jnp.float32(margin),
-                              jnp.float32(self.cm_weight))
-                state = out.state
-                cls_l.append(out.cls_loss)
-                ssl_l.append(out.ssl_loss)
-                cm_l.append(out.cm_loss)
-                if calibrate:
-                    # calibration feeds the next step's input: must sync here
-                    self.cm_weight = float(out.cm_weight)
-                n_batches += 1
-            cls_sum = float(np.sum([float(x) for x in cls_l]))
-            ssl_sum = float(np.sum([float(x) for x in ssl_l]))
-            cm_sum = float(np.sum([float(x) for x in cm_l]))
+            if self.scan_chunk > 1:
+                state, cls_sum, ssl_sum, cm_sum, n_batches = self._fit_epoch_scan(
+                    state, epoch, rng, compute_ssl, compute_cm, calibrate,
+                    lr_cls, lr_ssl, lr_cm, margin)
+            else:
+                state, cls_sum, ssl_sum, cm_sum, n_batches = self._fit_epoch_loop(
+                    state, epoch, rng, compute_ssl, compute_cm, calibrate,
+                    lr_cls, lr_ssl, lr_cm, margin)
 
             # epoch-end scheduler/margin stepping (reference trainer.py:243-254)
             if compute_ssl:
@@ -207,6 +196,71 @@ class Trainer:
                                           "best_epoch": self.best_epoch})
                 break
         return state
+
+    def _fit_epoch_loop(self, state, epoch, rng, compute_ssl, compute_cm,
+                        calibrate, lr_cls, lr_ssl, lr_cm, margin):
+        """Per-step dispatch (solver.scan_chunk ≤ 1)."""
+        step_fn = self._get_step_fn(compute_ssl, compute_cm, calibrate)
+        # losses stay on device during the epoch (a float() per step would
+        # block the async dispatch pipeline); host conversion happens once
+        cls_l, ssl_l, cm_l = [], [], []
+        n_batches = 0
+        for batch in _device_prefetch(self.train_loader.epoch(epoch),
+                                      self.shard_fn):
+            rng, step_rng = jax.random.split(rng)
+            out = step_fn(state, batch, step_rng,
+                          jnp.float32(lr_cls), jnp.float32(lr_ssl),
+                          jnp.float32(lr_cm), jnp.float32(margin),
+                          jnp.float32(self.cm_weight))
+            state = out.state
+            cls_l.append(out.cls_loss)
+            ssl_l.append(out.ssl_loss)
+            cm_l.append(out.cm_loss)
+            if calibrate:
+                # calibration feeds the next step's input: must sync here
+                self.cm_weight = float(out.cm_weight)
+            n_batches += 1
+        cls_sum = float(np.sum([float(x) for x in cls_l]))
+        ssl_sum = float(np.sum([float(x) for x in ssl_l]))
+        cm_sum = float(np.sum([float(x) for x in cm_l]))
+        return state, cls_sum, ssl_sum, cm_sum, n_batches
+
+    def _fit_epoch_scan(self, state, epoch, rng, compute_ssl, compute_cm,
+                        calibrate, lr_cls, lr_ssl, lr_cm, margin):
+        """Epoch-in-scan dispatch: lax.scan runs up to scan_chunk steps per
+        device call (train/steps.make_epoch_step) — same trajectory as the
+        per-step loop (rng chain and CM-weight threading are identical), at
+        a fraction of the host dispatch cost."""
+        key = (compute_ssl, compute_cm, calibrate)
+        if key not in self._epoch_fns:
+            from druglamp_tpu.train.steps import make_epoch_step
+
+            self._epoch_fns[key] = make_epoch_step(
+                self.model, use_ssl=compute_ssl, use_cm=compute_cm,
+                calibrate=calibrate, grad_mode=self.cfg.solver.grad_mode,
+                n_class=self.n_class)
+        epoch_fn = self._epoch_fns[key]
+
+        cls_l, ssl_l, cm_l = [], [], []
+        n_batches = 0
+        cm_w = jnp.float32(self.cm_weight)
+        for stacked in _device_prefetch(
+                self.train_loader.stacked_epoch(epoch, self.scan_chunk),
+                self.stacked_shard_fn):
+            n_batches += int(stacked["labels"].shape[0])
+            out = epoch_fn(state, stacked, rng, jnp.float32(lr_cls),
+                           jnp.float32(lr_ssl), jnp.float32(lr_cm),
+                           jnp.float32(margin), cm_w)
+            state, rng, cm_w = out.state, out.rng, out.cm_weight
+            cls_l.append(out.cls_losses)
+            ssl_l.append(out.ssl_losses)
+            cm_l.append(out.cm_losses)
+        if calibrate or compute_cm:
+            self.cm_weight = float(cm_w)
+        cls_sum = float(np.sum([np.sum(np.asarray(x)) for x in cls_l]))
+        ssl_sum = float(np.sum([np.sum(np.asarray(x)) for x in ssl_l]))
+        cm_sum = float(np.sum([np.sum(np.asarray(x)) for x in cm_l]))
+        return state, cls_sum, ssl_sum, cm_sum, n_batches
 
     def fast_dev_run(self, example_batch, seed: int, n_batches: int = 10) -> Dict[str, float]:
         """Smoke path: n train batches + a val pass, no checkpoints/early stop

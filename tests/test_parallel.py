@@ -163,3 +163,93 @@ def test_trainer_evaluate_fused_mesh_matches_plain(tmp_path):
     m_mesh = tr_mesh.evaluate(state, mk(True), full=True)
     for k in ("auroc", "auprc", "acc"):
         assert m_mesh[k] == pytest.approx(m_plain[k], abs=1e-6), k
+
+
+class TestPerReplicaBN:
+    """solver.bn_mode='per_replica' — torch-DDP BN emulation (VERDICT item 6;
+    reference DDP never syncs BN stats, trainer.py:147)."""
+
+    def test_grouped_bn_matches_torch_ddp_mirror(self):
+        """TorchBatchNorm(groups=2) == two independent torch BatchNorm1d
+        replicas: each half normalized by its own stats; running stats follow
+        the rank-0 (first-half) module torch would checkpoint."""
+        import torch
+
+        from druglamp_tpu.nn.layers import TorchBatchNorm
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(8, 5).astype(np.float32) * np.array([1, 2, 3, 4, 5], np.float32)
+        x[4:] += 3.0  # make the two replica-halves distributionally distinct
+
+        bn = TorchBatchNorm(groups=2)
+        variables = bn.init(jax.random.key(0), jnp.asarray(x),
+                            use_running_average=False)
+        y, muts = bn.apply(variables, jnp.asarray(x), use_running_average=False,
+                           mutable=["batch_stats"])
+
+        ddp = [torch.nn.BatchNorm1d(5), torch.nn.BatchNorm1d(5)]
+        with torch.no_grad():
+            y0 = ddp[0](torch.tensor(x[:4]))
+            y1 = ddp[1](torch.tensor(x[4:]))
+        ref = torch.cat([y0, y1]).numpy()
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-6)
+
+        stats = muts["batch_stats"]["BatchNorm_0"]
+        np.testing.assert_allclose(np.asarray(stats["mean"]),
+                                   ddp[0].running_mean.numpy(), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(stats["var"]),
+                                   ddp[0].running_var.numpy(), rtol=1e-5)
+
+    def test_grouped_bn_differs_from_global_and_matches_eval_semantics(self):
+        from druglamp_tpu.nn.layers import TorchBatchNorm
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(8, 3).astype(np.float32))
+        x = x.at[:4].add(5.0)
+
+        g1 = TorchBatchNorm(groups=1)
+        g2 = TorchBatchNorm(groups=2)
+        v1 = g1.init(jax.random.key(0), x, use_running_average=False)
+        y1, _ = g1.apply(v1, x, use_running_average=False, mutable=["batch_stats"])
+        v2 = g2.init(jax.random.key(0), x, use_running_average=False)
+        y2, m2 = g2.apply(v2, x, use_running_average=False, mutable=["batch_stats"])
+        assert not np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-3)
+
+        # identical param/stat tree paths → checkpoints load across modes
+        assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+
+        # eval path uses the (rank-0-style) running stats, same formula as global
+        ye1 = g1.apply({"params": v1["params"], "batch_stats": m2["batch_stats"]},
+                       x, use_running_average=True)
+        ye2 = g2.apply({"params": v2["params"], "batch_stats": m2["batch_stats"]},
+                       x, use_running_average=True)
+        np.testing.assert_allclose(np.asarray(ye1), np.asarray(ye2),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_full_model_per_replica_bn_dp8(self):
+        """Whole-model train step with bn_groups=8 on the DP8 mesh runs and
+        produces batch_stats different from global-batch mode."""
+        model_g = build_model("DrugLAMP2C2P", CFG, 24, 40)
+        model_r = build_model("DrugLAMP2C2P", CFG, 24, 40, bn_groups=8)
+        batch = make_batch(CFG, B, n_drug_feature=24, n_prot_feature=40)
+        batch["cm"] = build_cm_arrays(np.arange(B) % 3, np.arange(B) % 5,
+                                      batch["labels"])
+        batch = jax.tree.map(jnp.asarray, batch)
+        variables = model_g.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            batch, jax.random.key(2), method="init_all")
+
+        ctx = MeshContext(make_mesh(1))
+        outs = {}
+        for name, model in (("global", model_g), ("replica", model_r)):
+            state = TrainState.create(
+                jax.tree.map(jnp.copy, variables), use_ssl=True, use_cm=True)
+            out = _run_step(model, ctx.shard_state(state), ctx.shard_batch(batch),
+                            use_ssl=True, use_cm=True)
+            assert np.isfinite(float(out.cls_loss)), name
+            outs[name] = out
+        sg = jax.tree.leaves(outs["global"].state.batch_stats)
+        sr = jax.tree.leaves(outs["replica"].state.batch_stats)
+        diffs = [not np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+                 for a, b in zip(sg, sr)]
+        assert any(diffs), "per-replica stats identical to global stats"

@@ -295,3 +295,79 @@ def test_train_step_on_compact_llm_batch(tmp_path):
     assert np.isfinite(float(out.cls_loss))
     assert np.isfinite(float(out.ssl_loss))
     assert np.isfinite(float(out.cm_loss))
+
+
+def test_scan_epoch_matches_loop():
+    """The epoch-in-scan driver reproduces the per-step loop trajectory:
+    identical rng chain and CM-weight threading.  Step 0 matches exactly;
+    later steps agree up to fp reduction-order noise (the scan body is a
+    different XLA program, and Adam amplifies O(1e-7) gradient reorderings
+    — same caveat as test_parallel.test_dp8_matches_single_device)."""
+    from druglamp_tpu.data.loader import build_cm_arrays
+    from druglamp_tpu.train.steps import make_epoch_step
+
+    cfg = tiny_config(solver=SolverConfig(compute_dtype="float32"),
+                      rs=RSConfig(ssl=True, cm=True))
+    model = build_model("DrugLAMP2C2P", cfg, 24, 40)
+    B = 4
+    batches = []
+    for i in range(4):
+        b = make_batch(cfg, B, n_drug_feature=24, n_prot_feature=40, seed=i)
+        b["cm"] = build_cm_arrays(np.arange(B) % 2, np.arange(B), b["labels"])
+        batches.append(jax.tree.map(jnp.asarray, b))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batches[0], jax.random.key(2), method="init_all")
+
+    def mkstate():
+        return TrainState.create(jax.tree.map(jnp.copy, variables),
+                                 use_ssl=True, use_cm=True)
+
+    args = (jnp.float32(1e-3), jnp.float32(3e-4), jnp.float32(1e-4),
+            jnp.float32(0.5), jnp.float32(1.0))
+    step = make_train_step(model, use_ssl=True, use_cm=True, calibrate=True)
+    state, rng, w = mkstate(), jax.random.key(42), args[-1]
+    loop_losses = []
+    for b in batches:
+        rng, k = jax.random.split(rng)
+        out = step(state, b, k, *args[:-1], w)
+        state, w = out.state, out.cm_weight
+        loop_losses.append([float(out.cls_loss), float(out.ssl_loss),
+                            float(out.cm_loss)])
+
+    ep = make_epoch_step(model, use_ssl=True, use_cm=True, calibrate=True)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    out2 = ep(mkstate(), stacked, jax.random.key(42), *args)
+
+    # step 0: same inputs, exact agreement (rng chain + batch plumbing)
+    np.testing.assert_allclose(loop_losses[0],
+                               [float(out2.cls_losses[0]),
+                                float(out2.ssl_losses[0]),
+                                float(out2.cm_losses[0])], rtol=1e-6)
+    # full trajectory: fp reduction-order tolerance
+    scan_losses = np.stack([np.asarray(out2.cls_losses),
+                            np.asarray(out2.ssl_losses),
+                            np.asarray(out2.cm_losses)], axis=1)
+    np.testing.assert_allclose(np.asarray(loop_losses), scan_losses,
+                               rtol=2e-3, atol=1e-5)
+    assert float(out2.cm_weight) == pytest.approx(float(w), rel=1e-6)
+
+
+def test_trainer_scan_mode_end_to_end(tmp_path):
+    """Trainer.fit with scan_chunk>1 (incl. a ragged tail chunk) trains,
+    checkpoints, and evaluates like loop mode."""
+    root = _make_csv_dataset(tmp_path)
+    cfg = tiny_config(
+        solver=SolverConfig(max_epoch=3, batch_size=4, lr=1e-3, ssl_lr=3e-4,
+                            cm_lr=1e-4, seed=1, compute_dtype="float32",
+                            scan_chunk=4),   # 6 batches/epoch → chunks 4 + 2
+        rs=RSConfig(ssl=True, cm=True, init_epoch=2, epoch_step=2,
+                    max_margin=0.5, reset_epoch=10))
+    train_l, val_l, test_l = _loaders(root, cfg)
+    model = build_model("DrugLAMP2C2P", cfg, 24, 40)
+    tr = Trainer(model, cfg, train_l, val_l, test_l,
+                 work_dir=str(tmp_path / "scanwork"))
+    example = next(train_l.epoch(0))
+    metrics = tr.run_experiment(example, seed=7)
+    assert np.isfinite(metrics["auroc"])
+    assert tr.best_epoch >= 1
