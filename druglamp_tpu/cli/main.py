@@ -71,7 +71,34 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="generate frozen-encoder embedding caches before training")
     p.add_argument("--resume", action="store_true",
                    help="resume from work-dir's last checkpoint if present")
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training: restore --ckpt and evaluate the test "
+                        "split only (e.g. cross-dataset zero-shot passes on "
+                        "splits that ship without train data)")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="checkpoint directory for --eval-only (a trainer "
+                        "ckpt_best/ckpt_last path)")
     return p
+
+
+def resolve_split_files(data_root: str, data: str, split: str,
+                        rs_task: bool):
+    """(train, val, test) CSV names for a split.
+
+    RS-task splits (cluster/Tcpi) train on source_train.csv and use
+    target_test.csv for BOTH val and test (reference main.py:67-68,81-83,
+    138-153).  Some checkouts ship only target_train.csv for a cluster split
+    (e.g. biosnap/cluster); fall back to it so the shipped data runs."""
+    if not rs_task:
+        return "train.csv", "val.csv", "test.csv"
+    train_file = "source_train.csv"
+    if not os.path.exists(os.path.join(data_root, data, split, train_file)):
+        alt = os.path.join(data_root, data, split, "target_train.csv")
+        if os.path.exists(alt):
+            print(f"[warn] source_train.csv missing for {data}/{split}; "
+                  f"training on target_train.csv", file=sys.stderr)
+            train_file = "target_train.csv"
+    return train_file, "target_test.csv", "target_test.csv"
 
 
 def main(argv=None) -> int:
@@ -136,31 +163,24 @@ def main(argv=None) -> int:
 
     kw = dict(max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
               max_prot_resis=cfg.protein.max_resis, cutoff=args.cutoff)
-    if cfg.rs.task:
-        # Reference RS-task wiring reads source_train.csv (main.py:81-83).
-        # Some checkouts ship only target_train.csv for a cluster split
-        # (e.g. biosnap/cluster); fall back to it so the shipped data runs.
-        train_file = "source_train.csv"
-        if not os.path.exists(os.path.join(
-                args.data_root, args.data, args.split, train_file)):
-            alt = os.path.join(args.data_root, args.data, args.split,
-                               "target_train.csv")
-            if os.path.exists(alt):
-                print(f"[warn] source_train.csv missing for {args.data}/"
-                      f"{args.split}; training on target_train.csv",
-                      file=sys.stderr)
-                train_file = "target_train.csv"
-        train_ds = DTIDataset(args.data_root, args.data, args.split,
-                              train_file, **kw)
-        val_ds = DTIDataset(args.data_root, args.data, args.split,
-                            "target_test.csv", table=train_ds.table, **kw)
-        test_ds = val_ds
-    else:
-        train_ds = DTIDataset(args.data_root, args.data, args.split, "train.csv", **kw)
-        val_ds = DTIDataset(args.data_root, args.data, args.split, "val.csv",
-                            table=train_ds.table, **kw)
-        test_ds = DTIDataset(args.data_root, args.data, args.split, "test.csv",
-                             table=train_ds.table, **kw)
+    if args.eval_only:
+        if not args.ckpt:
+            print("error: --eval-only requires --ckpt", file=sys.stderr)
+            return 2
+        test_file = "target_test.csv" if cfg.rs.task else "test.csv"
+        test_ds = DTIDataset(args.data_root, args.data, args.split,
+                             test_file, **kw)
+        return _eval_only(args, cfg, test_ds, work_dir,
+                          n_drug_feature, n_prot_feature)
+    train_file, val_file, test_file = resolve_split_files(
+        args.data_root, args.data, args.split, cfg.rs.task)
+    train_ds = DTIDataset(args.data_root, args.data, args.split,
+                          train_file, **kw)
+    val_ds = DTIDataset(args.data_root, args.data, args.split, val_file,
+                        table=train_ds.table, **kw)
+    test_ds = val_ds if test_file == val_file else DTIDataset(
+        args.data_root, args.data, args.split, test_file,
+        table=train_ds.table, **kw)
 
     needs_llm = args.model != "DrugLAMPwoLLM"
     cache_dir = os.path.join(work_dir, "embed_cache") if args.work_dir else \
@@ -170,7 +190,11 @@ def main(argv=None) -> int:
         if args.gen_embed:
             from druglamp_tpu.encoders.embed_pipeline import generate_embeddings
 
-            generate_embeddings(train_ds.table, cache, n_layer=args.n_layer)
+            # --mesh-model > 1 shards the ESM stack over the 'model' axis
+            # (esm2_t48_15B does not fit one chip — reference main.py:12-18)
+            embed_mesh = make_mesh(args.mesh_model) if args.mesh_model > 1 else None
+            generate_embeddings(train_ds.table, cache, n_layer=args.n_layer,
+                                mesh=embed_mesh)
             # LLM-dim sidecar for reference-workflow familiarity
             # (handler/dataset.py:107-117 writes configs/{n}_layers_params.txt)
             sidecar = os.path.join(work_dir, f"{args.n_layer}_layers_params.txt")
@@ -224,6 +248,58 @@ def main(argv=None) -> int:
     metrics = trainer.run_experiment(example, seed=cfg.solver.seed, resume=args.resume)
     print({f"test_{k}": round(v, 5) for k, v in metrics.items()})
     logger.close()
+    return 0
+
+
+def _eval_only(args, cfg, test_ds, work_dir, n_drug_feature, n_prot_feature) -> int:
+    """Restore a trained checkpoint and score the test split (no training).
+
+    Enables cross-dataset zero-shot passes: e.g. a biosnap/cluster-trained
+    model evaluated on bindingdb/cluster target_test.csv, which ships with no
+    train data (reference main.py:81-83 wires eval-only dataloaders the same
+    way for RS tasks)."""
+    from druglamp_tpu.data.cache import EmbeddingCache, ZeroEmbeddings
+    from druglamp_tpu.data.loader import BatchLoader
+    from druglamp_tpu.models.registry import build_model
+    from druglamp_tpu.parallel.mesh import MeshContext, make_mesh
+    from druglamp_tpu.train.trainer import Trainer
+
+    needs_llm = args.model != "DrugLAMPwoLLM"
+    if needs_llm:
+        cache_dir = os.path.join(work_dir, "embed_cache") if args.work_dir else \
+            os.path.join(os.path.dirname(work_dir), "embed_cache", args.data)
+        cache = EmbeddingCache(cache_dir, args.data, n_drug_feature,
+                               n_prot_feature)
+        if args.gen_embed:
+            from druglamp_tpu.encoders.embed_pipeline import generate_embeddings
+
+            generate_embeddings(test_ds.table, cache, n_layer=args.n_layer)
+        have_all = all(cache.has_drug(o) for o in range(test_ds.table.n_drug))
+        embeddings = cache if have_all else ZeroEmbeddings(n_drug_feature,
+                                                           n_prot_feature)
+        if not have_all:
+            print(f"[warn] embeddings missing from {cache_dir}; using zeros",
+                  file=sys.stderr)
+    else:
+        embeddings = ZeroEmbeddings(n_drug_feature, n_prot_feature)
+
+    test_loader = BatchLoader(test_ds, cfg.solver.eval_batch_size,
+                              shuffle=False, drop_last=False,
+                              embeddings=embeddings, include_llm=needs_llm,
+                              compact=True)
+    mesh_ctx = MeshContext(make_mesh(args.mesh_model),
+                           tensor_parallel=args.mesh_model > 1)
+    model = build_model(args.model, cfg, n_drug_feature, n_prot_feature)
+    trainer = Trainer(model, cfg, test_loader, test_loader, test_loader,
+                      work_dir=work_dir, shard_fn=mesh_ctx.fused_shard_batch)
+    example = next(test_loader.epoch(0))
+    state = trainer.init_state(example, seed=cfg.solver.seed)
+    if not os.path.exists(args.ckpt):
+        print(f"error: checkpoint {args.ckpt!r} not found", file=sys.stderr)
+        return 2
+    state = trainer.restore(args.ckpt, state, load_host=False)
+    metrics = trainer.evaluate(state, test_loader, full=True)
+    print({f"test_{k}": round(v, 5) for k, v in metrics.items()})
     return 0
 
 

@@ -68,6 +68,9 @@ class SolverConfig:
                                  # grads) or 'legacy_aliased' (replicates the reference
                                  # trainer.py:198-229 zero_grad overwrite semantics,
                                  # where later backward passes wipe earlier grads)
+    ckpt_every: int = 5          # epochs between ckpt_last (resume-point) saves;
+                                 # each save pulls the full ~140MB state over the
+                                 # device link. Best-metric saves are unthrottled.
     scan_chunk: int = 64         # steps per device dispatch in the epoch-in-scan
                                  # train driver (0 = per-step dispatch). Scanning
                                  # amortizes host dispatch latency — the dominant

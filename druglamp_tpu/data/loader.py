@@ -58,6 +58,11 @@ def build_cm_arrays(prot_ids, drug_ids, labels) -> Dict[str, np.ndarray]:
             "d_valid": d_valid, "gt": gt}
 
 
+def _batch_nbytes(batch) -> int:
+    return sum(v.nbytes if hasattr(v, "nbytes") else _batch_nbytes(v)
+               for v in batch.values())
+
+
 def _tree_stack(batches):
     """Stack a list of (possibly nested) batch dicts along a new axis 0."""
     out = {}
@@ -75,7 +80,8 @@ class BatchLoader:
     def __init__(self, dataset: DTIDataset, batch_size: int, shuffle: bool,
                  drop_last: bool, embeddings=None, seed: int = 0,
                  prefetch: int = 2, include_llm: bool = True,
-                 llm_dtype=None, compact: bool = False):
+                 llm_dtype=None, compact: bool = False,
+                 cache_max_bytes: int = 2 << 30):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -89,8 +95,13 @@ class BatchLoader:
         # host→device traffic; the model computes in bf16 anyway).
         self.include_llm = include_llm
         # eval loaders (shuffle=False) re-assemble identical batches every
-        # epoch; cache them after the first pass
+        # epoch; cache them after the first pass.  The cache is byte-capped:
+        # LLM-bearing batches are ~1.7 MB/sample even in compact form, so an
+        # uncapped cache would hold bindingdb-scale eval sets (tens of GB) in
+        # RSS; past the cap the loader re-assembles each epoch instead (cheap:
+        # ~7 ms/batch with the native packer, overlapped by prefetch).
         self.cache_batches = not shuffle
+        self.cache_max_bytes = cache_max_bytes
         self._batch_cache: Optional[list] = None
         # compact=True ships the bit-packed/int8 batch form (decoded on
         # device inside the jitted step; see data/encoding.py) — ~6x fewer
@@ -207,9 +218,14 @@ class BatchLoader:
             yield from self._batch_cache
             return
         collected = [] if self.cache_batches else None
+        collected_bytes = 0
         for batch in self._epoch_uncached(epoch):
             if collected is not None:
-                collected.append(batch)
+                collected_bytes += _batch_nbytes(batch)
+                if collected_bytes > self.cache_max_bytes:
+                    collected = None   # over budget: keep streaming, no cache
+                else:
+                    collected.append(batch)
             yield batch
         if collected is not None:
             self._batch_cache = collected

@@ -189,7 +189,12 @@ class Trainer:
             else:
                 epochs_no_improve += 1
                 self.epochs_no_improve = epochs_no_improve
-            self._save(last_path, state)   # step-level resume point
+            # resume point; throttled (each save pulls the full state over
+            # the device link), but always written at stop/finish below
+            stopping = epochs_no_improve >= self.patience or epoch == self.epochs
+            if stopping or epoch % max(1, getattr(
+                    self.cfg.solver, "ckpt_every", 1)) == 0:
+                self._save(last_path, state)
             if epochs_no_improve >= self.patience:
                 if self.logger:
                     self.logger.log_dict({"event": "early_stop", "epoch": epoch,

@@ -64,3 +64,36 @@ def test_sweep_max_retries(monkeypatch, tmp_path):
                      "--seeds", "40", "--max-retries", "3",
                      "--out", str(tmp_path / "s.json")])
     assert rc == 1
+
+
+def test_resolve_split_files_rs_wiring(tmp_path, capsys):
+    """RS-task (cluster/Tcpi) wiring: source_train + target_test for both
+    eval loaders (reference main.py:67-68,81-83,138-153), with the
+    target_train fallback for checkouts shipping no source_train."""
+    import os
+
+    from druglamp_tpu.cli.main import resolve_split_files
+
+    assert resolve_split_files("/x", "human", "random", False) == (
+        "train.csv", "val.csv", "test.csv")
+
+    d = tmp_path / "biosnap" / "cluster"
+    os.makedirs(d)
+    (d / "target_train.csv").write_text("SMILES,Protein,Y\n")
+    (d / "target_test.csv").write_text("SMILES,Protein,Y\n")
+    got = resolve_split_files(str(tmp_path), "biosnap", "cluster", True)
+    assert got == ("target_train.csv", "target_test.csv", "target_test.csv")
+    assert "source_train.csv missing" in capsys.readouterr().err
+
+    (d / "source_train.csv").write_text("SMILES,Protein,Y\n")
+    got = resolve_split_files(str(tmp_path), "biosnap", "cluster", True)
+    assert got == ("source_train.csv", "target_test.csv", "target_test.csv")
+
+
+def test_eval_only_requires_ckpt(capsys):
+    from druglamp_tpu.cli.main import main
+
+    rc = main(["--model", "DrugLAMPwoLLM", "--data", "human",
+               "--split", "random", "--eval-only"])
+    assert rc == 2
+    assert "--ckpt" in capsys.readouterr().err

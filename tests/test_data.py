@@ -237,3 +237,34 @@ def test_eval_batch_cache(human_val):
     tr = BatchLoader(human_val, 16, shuffle=True, drop_last=True, prefetch=0)
     list(tr.epoch(0))
     assert tr._batch_cache is None
+
+
+def test_eval_cache_byte_cap(tmp_path):
+    """Eval loaders cache batches only up to cache_max_bytes; past the cap
+    they stream (re-assemble) every epoch with identical contents."""
+    from tests.test_train import _make_csv_dataset
+    from tests.util import tiny_config
+
+    root = _make_csv_dataset(tmp_path)
+    cfg = tiny_config()
+    kw = dict(max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
+              max_prot_resis=cfg.protein.max_resis)
+    ds = DTIDataset(root, "toy", "random", "train.csv", **kw)
+    emb = ZeroEmbeddings(24, 40)
+
+    cached = BatchLoader(ds, 4, shuffle=False, drop_last=False, embeddings=emb,
+                         prefetch=0, include_llm=False)
+    capped = BatchLoader(ds, 4, shuffle=False, drop_last=False, embeddings=emb,
+                         prefetch=0, include_llm=False, cache_max_bytes=1)
+
+    b_cached = list(cached.epoch(0))
+    b_capped = list(capped.epoch(0))
+    assert cached._batch_cache is not None
+    assert capped._batch_cache is None          # over budget: never cached
+    b_capped2 = list(capped.epoch(1))           # second pass re-assembles
+    for a, b, c in zip(b_cached, b_capped, b_capped2):
+        for k in a:
+            if k == "cm":
+                continue
+            np.testing.assert_array_equal(a[k], b[k])
+            np.testing.assert_array_equal(a[k], c[k])

@@ -168,3 +168,88 @@ def test_esm2_tensor_parallel_sharding():
 
     out = jax.jit(lambda v, t: model.apply(v, t))(sharded, tokens)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_esm2_15b_tp_fits_per_chip_hbm():
+    """TP at the motivating scale (VERDICT item 7): esm2_t48_15B param tree
+    sharded over model=8 must fit a v5e chip's HBM per device.  Shapes come
+    from jax.eval_shape (no allocation); placement from the same logical
+    rules the live path uses."""
+    import flax.linen as nn
+    from jax.sharding import PartitionSpec as P
+
+    from druglamp_tpu.encoders.esm2 import ESM2, esm2_config_for_layers
+    from druglamp_tpu.encoders.sharding import LOGICAL_RULES
+    from druglamp_tpu.parallel.mesh import make_mesh
+
+    cfg = esm2_config_for_layers(48)          # 5120 dim, 48 layers ≈ 15B
+    assert cfg.embed_dim == 5120
+    model = ESM2(cfg, dtype=jnp.bfloat16)
+    abstract = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 8), jnp.int32)),
+        jax.random.key(0))
+    mesh = make_mesh(n_model=8)
+    logical = nn.get_partition_spec(abstract)
+    shardings = nn.logical_to_mesh_sharding(logical, mesh, LOGICAL_RULES)
+
+    n_model = mesh.shape["model"]
+    total = sharded = 0
+    per_device = 0.0
+    qkv_sharded = ffn_sharded = 0
+    for (path, leaf), (_, s) in zip(
+            jax.tree_util.tree_flatten_with_path(
+                abstract, is_leaf=lambda x: isinstance(x, nn.Partitioned))[0],
+            jax.tree_util.tree_flatten_with_path(
+                shardings, is_leaf=lambda x: x is None or hasattr(x, "spec"))[0]):
+        val = leaf.value if isinstance(leaf, nn.Partitioned) else leaf
+        nbytes = int(np.prod(val.shape)) * val.dtype.itemsize
+        total += nbytes
+        spec = getattr(s, "spec", P())
+        if any(ax == "model" for ax in spec):
+            sharded += nbytes
+            per_device += nbytes / n_model
+            pstr = jax.tree_util.keystr(path)
+            if any(p in pstr for p in ("q_proj", "k_proj", "v_proj", "out_proj")):
+                qkv_sharded += 1
+            if "fc1" in pstr or "fc2" in pstr:
+                ffn_sharded += 1
+        else:
+            per_device += nbytes
+
+    assert total > 25e9, f"t48 should be ≈15B params bf16, got {total/1e9:.1f}GB"
+    assert sharded / total > 0.95, "most of the stack must shard over 'model'"
+    assert qkv_sharded >= 4 * 48 and ffn_sharded >= 2 * 48, (
+        qkv_sharded, ffn_sharded)
+    V5E_HBM = 16e9
+    assert per_device < V5E_HBM * 0.5, (
+        f"per-device {per_device/1e9:.1f}GB must leave headroom on a 16GB chip")
+
+
+def test_esm2_tp_real_kernels_at_5120():
+    """One real t48-shaped layer sharded over model=8 on the CPU mesh:
+    kernels physically split 8-ways, forward finite, and equal to the
+    unsharded layer."""
+    from druglamp_tpu.encoders.esm2 import ESM2Config, ESMLayer
+    from druglamp_tpu.encoders.sharding import shard_encoder_variables
+    from druglamp_tpu.parallel.mesh import make_mesh
+
+    cfg = ESM2Config(num_layers=1, embed_dim=5120, num_heads=40)
+    layer = ESMLayer(cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (1, 4, 5120), jnp.float32)
+    pad = jnp.zeros((1, 4), bool)
+    variables = layer.init(jax.random.key(0), x, pad)
+    ref = layer.apply(variables, x, pad)
+
+    mesh = make_mesh(n_model=8)
+    sharded_vars = shard_encoder_variables(variables, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(sharded_vars)[0]
+    split = [leaf for path, leaf in flat
+             if hasattr(leaf, "sharding") and "model" in str(leaf.sharding.spec)]
+    assert split, "no kernel actually sharded over the model axis"
+    for leaf in split:
+        shard_shape = leaf.addressable_shards[0].data.shape
+        assert np.prod(shard_shape) == np.prod(leaf.shape) // 8
+
+    out = jax.jit(lambda v, x: layer.apply(v, x, pad))(sharded_vars, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
