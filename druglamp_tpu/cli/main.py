@@ -186,7 +186,10 @@ def main(argv=None) -> int:
     cache_dir = os.path.join(work_dir, "embed_cache") if args.work_dir else \
         os.path.join(os.path.dirname(work_dir), "embed_cache", args.data)
     if needs_llm:
-        cache = EmbeddingCache(cache_dir, args.data, n_drug_feature, n_prot_feature)
+        import ml_dtypes
+
+        cache = EmbeddingCache(cache_dir, args.data, n_drug_feature,
+                               n_prot_feature, dtype=ml_dtypes.bfloat16)
         if args.gen_embed:
             from druglamp_tpu.encoders.embed_pipeline import generate_embeddings
 

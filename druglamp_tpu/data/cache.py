@@ -39,7 +39,7 @@ class EmbeddingCache:
 
     def __init__(self, cache_dir: str, dataset: str,
                  n_drug_feature: int = 384, n_prot_feature: int = 640,
-                 preload: bool = True):
+                 preload: bool = True, dtype=None):
         self.cache_dir = cache_dir
         self.dataset = dataset
         self.n_drug_feature = n_drug_feature
@@ -47,6 +47,9 @@ class EmbeddingCache:
         self._drug: Dict[int, np.ndarray] = {}
         self._prot: Dict[int, np.ndarray] = {}
         self._preload = preload
+        # convert once at load (e.g. bfloat16): batch assembly then copies
+        # with no per-batch ml_dtypes casting in the hot path
+        self._dtype = np.dtype(dtype) if dtype is not None else None
 
     def drug_path(self, ordinal: int) -> str:
         return os.path.join(self.cache_dir, f"{self.dataset}_{ordinal}_drug_embedded.npy")
@@ -69,9 +72,12 @@ class EmbeddingCache:
         os.makedirs(self.cache_dir, exist_ok=True)
         np.save(self.prot_path(ordinal), emb.astype(np.float32))
 
+    def _convert(self, arr: np.ndarray) -> np.ndarray:
+        return arr.astype(self._dtype) if self._dtype is not None else arr
+
     def drug(self, ordinal: int) -> np.ndarray:
         if ordinal not in self._drug:
-            arr = np.load(self.drug_path(ordinal))
+            arr = self._convert(np.load(self.drug_path(ordinal)))
             if not self._preload:
                 return arr
             self._drug[ordinal] = arr
@@ -79,7 +85,7 @@ class EmbeddingCache:
 
     def prot(self, ordinal: int) -> np.ndarray:
         if ordinal not in self._prot:
-            arr = np.load(self.prot_path(ordinal))
+            arr = self._convert(np.load(self.prot_path(ordinal)))
             if not self._preload:
                 return arr
             self._prot[ordinal] = arr

@@ -190,10 +190,24 @@ def make_epoch_step(model, use_ssl: bool, use_cm: bool, calibrate: bool = False,
     return epoch_step
 
 
-def make_eval_step(model, n_class: int = 1) -> Callable:
-    """Jitted eval step: probabilities + loss over valid rows."""
+def make_eval_scan(model, n_class: int = 1) -> Callable:
+    """Jitted eval over a step-stacked batch: ONE dispatch scores S batches
+    via lax.scan (same dispatch-amortization as make_epoch_step; eval
+    becomes the per-epoch dispatch bottleneck once training scans)."""
+    step = _eval_body(model, n_class)
 
     @jax.jit
+    def eval_scan(params, batch_stats, stacked):
+        def body(_, batch):
+            return None, step(params, batch_stats, batch)
+
+        _, (probs, losses) = jax.lax.scan(body, None, stacked)
+        return probs, losses                      # (S, B), (S,)
+
+    return eval_scan
+
+
+def _eval_body(model, n_class: int = 1) -> Callable:
     def eval_step(params, batch_stats, batch):
         batch = decode_batch(batch)
         out = model.apply({"params": params, "batch_stats": batch_stats},
@@ -205,8 +219,14 @@ def make_eval_step(model, n_class: int = 1) -> Callable:
         # masked mean BCE for logging
         logits = jnp.squeeze(out["score"], -1).astype(jnp.float32)
         labels = batch["labels"].astype(jnp.float32)
-        per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        per = (jnp.maximum(logits, 0) - logits * labels
+               + jnp.log1p(jnp.exp(-jnp.abs(logits))))
         loss = (per * valid).sum() / jnp.maximum(valid.sum(), 1.0)
         return probs, loss
 
     return eval_step
+
+
+def make_eval_step(model, n_class: int = 1) -> Callable:
+    """Jitted eval step: probabilities + loss over valid rows."""
+    return jax.jit(_eval_body(model, n_class))

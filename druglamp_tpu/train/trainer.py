@@ -83,6 +83,7 @@ class Trainer:
         self._epoch_fns: Dict[Any, Any] = {}
         self.scan_chunk = getattr(s, "scan_chunk", 0)
         self.eval_step = make_eval_step(model, n_class=self.n_class)
+        self._eval_scan_fn = None
 
         # host-side schedule counters (SSL/CM schedulers advance only on
         # epochs where their loss computes)
@@ -290,6 +291,8 @@ class Trainer:
         return {"train_losses": losses, **{f"val_{k}": v for k, v in val.items()}}
 
     def evaluate(self, state: TrainState, loader: BatchLoader, full: bool) -> Dict[str, float]:
+        if self.scan_chunk > 1:
+            return self._evaluate_scan(state, loader, full)
         collector = MetricCollector()
         pending = []   # defer host syncs: dispatch all eval batches first
         for batch in loader.epoch(0):
@@ -301,6 +304,29 @@ class Trainer:
         for probs, loss, valid, labels in pending:
             collector.update(np.asarray(probs)[valid], labels[valid])
             losses.append(float(loss))
+        m = collector.compute(full=full)
+        m["loss"] = float(np.mean(losses)) if losses else float("nan")
+        return m
+
+    def _evaluate_scan(self, state: TrainState, loader: BatchLoader,
+                       full: bool) -> Dict[str, float]:
+        """One dispatch per scan_chunk eval batches (steps.make_eval_scan)."""
+        if self._eval_scan_fn is None:
+            from druglamp_tpu.train.steps import make_eval_scan
+
+            self._eval_scan_fn = make_eval_scan(self.model, n_class=self.n_class)
+        collector = MetricCollector()
+        losses = []
+        pending = []
+        for stacked in loader.stacked_epoch(0, self.scan_chunk):
+            sb = self.stacked_shard_fn(stacked)
+            probs, batch_losses = self._eval_scan_fn(state.params,
+                                                     state.batch_stats, sb)
+            pending.append((probs, batch_losses,
+                            stacked["valid"].astype(bool), stacked["labels"]))
+        for probs, batch_losses, valid, labels in pending:
+            collector.update(np.asarray(probs)[valid], np.asarray(labels)[valid])
+            losses.extend(np.asarray(batch_losses).tolist())
         m = collector.compute(full=full)
         m["loss"] = float(np.mean(losses)) if losses else float("nan")
         return m

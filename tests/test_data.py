@@ -268,3 +268,48 @@ def test_eval_cache_byte_cap(tmp_path):
                 continue
             np.testing.assert_array_equal(a[k], b[k])
             np.testing.assert_array_equal(a[k], c[k])
+
+
+def test_compact_direct_matches_legacy(tmp_path):
+    """The direct-compact assembler (_assemble_compact) is bit-identical to
+    compact_batch over the dense assembly, for both LLM and woLLM batches."""
+    from druglamp_tpu.data.encoding import compact_batch
+    from tests.test_train import _make_csv_dataset
+    from tests.util import tiny_config
+
+    root = _make_csv_dataset(tmp_path)
+    cfg = tiny_config()
+    kw = dict(max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
+              max_prot_resis=cfg.protein.max_resis)
+    ds = DTIDataset(root, "toy", "random", "train.csv", **kw)
+
+    class RandEmb:
+        n_drug_feature, n_prot_feature = 24, 40
+        def drug(self, o):
+            return np.random.RandomState(o).randn(5 + o % 7, 24).astype(np.float32)
+        def prot(self, o):
+            return np.random.RandomState(100 + o).randn(9 + o % 5, 40).astype(np.float32)
+
+    for llm in (False, True):
+        ld = BatchLoader(ds, 5, shuffle=True, drop_last=False, embeddings=RandEmb(),
+                         prefetch=0, include_llm=llm, compact=True)
+        idx = ld._order(3)[:5]
+        direct = ld._assemble_compact(idx)
+        dense = ld._assemble_dense(idx)
+        # legacy tail: _assemble_dense already applies compact_batch
+        assert "drug_adj_packed" in dense
+        assert sorted(_flat(direct)) == sorted(_flat(dense))
+        for k, a in _flat(direct).items():
+            b = _flat(dense)[k]
+            assert a.dtype == b.dtype, (k, a.dtype, b.dtype)
+            np.testing.assert_array_equal(a, b, err_msg=k)
+
+
+def _flat(d, p=""):
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            out.update(_flat(v, p + k + "."))
+        else:
+            out[p + k] = v
+    return out

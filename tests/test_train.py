@@ -371,3 +371,25 @@ def test_trainer_scan_mode_end_to_end(tmp_path):
     metrics = tr.run_experiment(example, seed=7)
     assert np.isfinite(metrics["auroc"])
     assert tr.best_epoch >= 1
+
+
+def test_evaluate_scan_matches_loop(tmp_path):
+    """Trainer.evaluate via eval-in-scan equals the per-batch path."""
+    root = _make_csv_dataset(tmp_path)
+    mk = lambda chunk: tiny_config(
+        solver=SolverConfig(max_epoch=1, batch_size=4, compute_dtype="float32",
+                            scan_chunk=chunk),
+        rs=RSConfig())
+    cfg = mk(4)
+    train_l, val_l, test_l = _loaders(root, cfg)
+    model = build_model("DrugLAMPwoLLM", cfg, 24, 40)
+    tr_scan = Trainer(model, cfg, train_l, val_l, test_l,
+                      work_dir=str(tmp_path / "es"))
+    tr_loop = Trainer(model, mk(0), train_l, val_l, test_l,
+                      work_dir=str(tmp_path / "el"))
+    example = next(train_l.epoch(0))
+    state = tr_scan.init_state(example, seed=5)
+    m_scan = tr_scan.evaluate(state, test_l, full=True)
+    m_loop = tr_loop.evaluate(state, test_l, full=True)
+    for k in m_loop:
+        assert m_scan[k] == pytest.approx(m_loop[k], abs=1e-6), k
