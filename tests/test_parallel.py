@@ -253,3 +253,63 @@ class TestPerReplicaBN:
         diffs = [not np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
                  for a, b in zip(sg, sr)]
         assert any(diffs), "per-replica stats identical to global stats"
+
+
+def test_distributed_two_process_psum(tmp_path):
+    """Real multi-process jax.distributed over gRPC on localhost: two
+    processes (2 virtual CPU devices each) form one 4-device cluster via
+    maybe_initialize_distributed(), build the global (data,) mesh, and
+    jit a psum-backed global mean — the DCN multi-host path of SURVEY §5.8
+    with actual process boundaries (the reference's closest analogue is
+    Lightning DDP process forking, trainer.py:146-147)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    child = r"""
+import os, sys
+import numpy as np
+from druglamp_tpu.parallel.distributed import (maybe_initialize_distributed,
+                                               process_count, is_primary)
+assert maybe_initialize_distributed()
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+assert process_count() == 2
+assert jax.device_count() == 4            # 2 local x 2 processes
+mesh = Mesh(np.array(jax.devices()), ("data",))
+local = jnp.arange(2, dtype=jnp.float32) + 10 * jax.process_index()
+garr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), np.asarray(local), (4,))
+total = jax.jit(lambda x: x.sum(), out_shardings=NamedSharding(mesh, P()))(garr)
+# values: proc0 [0,1], proc1 [10,11] -> 22
+print(f"RESULT pid={jax.process_index()} total={float(total)} "
+      f"primary={is_primary()}", flush=True)
+"""
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        env["PYTHONPATH"] = "/root/repo"
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", child], env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err}"
+    results = [line for out, _ in outs for line in out.splitlines()
+               if line.startswith("RESULT")]
+    assert len(results) == 2
+    assert all("total=22.0" in r for r in results), results
+    assert sum("primary=True" in r for r in results) == 1
