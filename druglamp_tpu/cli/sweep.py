@@ -26,6 +26,10 @@ def main(argv=None) -> int:
     p.add_argument("--seeds", type=int, nargs="+", default=[40, 41, 42, 43, 44])
     p.add_argument("--max-retries", type=int, default=0,
                    help="0 = retry forever (reference behaviour)")
+    p.add_argument("--in-process", action="store_true",
+                   help="run seeds in this process (shares jit caches: saves "
+                        "the ~8-min per-seed TPU program-load startup); a "
+                        "failing seed falls back to the subprocess retry loop")
     p.add_argument("--out", type=str, default=None, help="summary JSON path")
     p.add_argument("rest", nargs=argparse.REMAINDER,
                    help="extra flags forwarded to cli.main (prefix with --)")
@@ -34,9 +38,23 @@ def main(argv=None) -> int:
     extra = [a for a in args.rest if a != "--"]
     results = {}
     for seed in args.seeds:
-        cmd = [sys.executable, "-m", "druglamp_tpu.cli.main",
-               "--model", args.model, "--data", args.data,
-               "--split", args.split, "--seed", str(seed)] + extra
+        argv = ["--model", args.model, "--data", args.data,
+                "--split", args.split, "--seed", str(seed)] + extra
+        cmd = [sys.executable, "-m", "druglamp_tpu.cli.main"] + argv
+        if args.in_process:
+            from druglamp_tpu.cli import main as cli_main
+
+            print(f"[sweep] seed {seed} (in-process): {' '.join(argv)}",
+                  file=sys.stderr, flush=True)
+            try:
+                rc = cli_main.main(argv)
+            except Exception as e:
+                print(f"[sweep] seed {seed} in-process failed ({e!r}); "
+                      f"falling back to subprocess", file=sys.stderr, flush=True)
+                rc = 1
+            if rc == 0:
+                results[seed] = 0
+                continue
         attempt = 0
         while True:
             attempt += 1

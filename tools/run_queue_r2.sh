@@ -14,23 +14,27 @@ if [ -n "$WOLLM_PID" ]; then
 fi
 note "woLLM sweep done"
 
-# 1) full DrugLAMP on human/random, 5 seeds, full recipe (gen-embed on first)
-note "DrugLAMP human/random sweep starting (gen-embed first seed)"
-python -m druglamp_tpu.cli.main --model DrugLAMP --data human --split random \
-  --seed 40 --gen-embed > logs/druglamp_s40.log 2>&1
-note "DrugLAMP seed 40 rc=$?"
+# 1) full DrugLAMP on human/random, 5 seeds, full recipe, in-process
+#    (shared jit caches save ~8 min/seed of TPU program loads); --gen-embed
+#    populates the shared cache on the first seed, later seeds skip
 python -m druglamp_tpu.cli.sweep --model DrugLAMP --data human --split random \
-  --seeds 41 42 43 44 --max-retries 3 \
+  --seeds 40 41 42 43 44 --in-process --max-retries 3 \
   --out results/sweep_human_random_DrugLAMP_r2.json \
-  > logs/sweep_druglamp_r2.log 2>&1
+  -- --gen-embed > logs/sweep_druglamp_r2.log 2>&1
 note "DrugLAMP sweep rc=$?"
 
 # 2) full DrugLAMP2C2P on human/random, 5 seeds (reuses the embed cache)
 python -m druglamp_tpu.cli.sweep --model DrugLAMP2C2P --data human --split random \
-  --seeds 40 41 42 43 44 --max-retries 3 \
+  --seeds 40 41 42 43 44 --in-process --max-retries 3 \
   --out results/sweep_human_random_2C2P_r2.json \
   > logs/sweep_2c2p_r2.log 2>&1
 note "2C2P sweep rc=$?"
+
+# 2b) woLLM seed 42 re-run (round-1 artifact was wiped with the workspace;
+#     regenerate so all 5 full-recipe woLLM runs have artifacts this round)
+python -m druglamp_tpu.cli.main --model DrugLAMPwoLLM --data human --split random \
+  --seed 42 > logs/wollm_s42_r2.log 2>&1
+note "woLLM seed 42 rerun rc=$?"
 
 # 3) RS-task mode on the shipped-complete cluster data (reference
 #    main.py:67-68,81-83): biosnap/cluster, both LLM models.
@@ -52,7 +56,10 @@ python -m druglamp_tpu.cli.main --model DrugLAMP2C2P --data bindingdb --split cl
   > logs/bindingdb_cluster_eval.log 2>&1
 note "bindingdb/cluster eval rc=$?"
 
-# 5) bench on the now-free chip
+# 5) bench + profiling on the now-free chip
 python bench.py > logs/bench_r2.log 2>&1
 note "bench rc=$? $(tail -1 logs/bench_r2.log)"
+PYTHONPATH=/root/repo:/root/.axon_site python tools/step_profile.py \
+  > logs/step_profile_r2.log 2>&1
+note "step_profile rc=$?"
 note "queue complete"
