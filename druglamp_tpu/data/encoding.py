@@ -132,14 +132,28 @@ def _unflatten(flat: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def decode_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+def decode_batch(batch: Dict[str, Any], store=None) -> Dict[str, Any]:
     """Device-side (jit-traceable): expand a compact batch; pass-through if
-    the batch is already in standard form."""
+    the batch is already in standard form.
+
+    ``store``: optional DeviceEmbeddingStore.tree — when the batch carries
+    entity ordinals (loader emb_ordinals mode), the frozen LLM embeddings are
+    gathered from the device-resident arrays here instead of being shipped
+    from host (data/device_store.py)."""
     if "drug_adj_packed" not in batch:
         return batch
     import jax.numpy as jnp
 
     out = dict(batch)
+    if store is not None and "drug_ord" in batch:
+        dor = batch["drug_ord"]
+        por = batch["prot_ord"]
+        out["xd"] = jnp.take(store["drug_emb"], dor, axis=0)
+        out["d_ntok"] = jnp.take(store["drug_len"], dor, axis=0)
+        out["xp_src"] = jnp.take(store["prot_emb"], por, axis=0)
+        out["xp_len"] = jnp.take(store["prot_len"], por, axis=0)
+        del out["drug_ord"], out["prot_ord"]
+        batch = out
     packed = batch["drug_adj_packed"]
     B, N, _ = packed.shape
     shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)

@@ -88,7 +88,7 @@ class BatchLoader:
                  drop_last: bool, embeddings=None, seed: int = 0,
                  prefetch: int = 2, include_llm: bool = True,
                  llm_dtype=None, compact: bool = False,
-                 cache_max_bytes: int = 2 << 30):
+                 cache_max_bytes: int = 2 << 30, emb_ordinals: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -114,6 +114,12 @@ class BatchLoader:
         # device inside the jitted step; see data/encoding.py) — ~6x fewer
         # host→device bytes
         self.compact = compact
+        # emb_ordinals: ship int32 entity ordinals instead of the frozen LLM
+        # embedding arrays; the jitted step gathers them from the
+        # device-resident store (data/device_store.py).  Compact-form only.
+        self.emb_ordinals = emb_ordinals
+        if emb_ordinals:
+            assert compact and include_llm, "emb_ordinals requires compact LLM batches"
         if llm_dtype is None:
             import ml_dtypes
 
@@ -170,7 +176,11 @@ class BatchLoader:
             "d_ntok": np.zeros((B,), np.int32),
             "labels": np.zeros((B,), np.float32),
         }
-        if self.include_llm:
+        if self.emb_ordinals:
+            batch["drug_ord"] = np.zeros((B,), np.int32)
+            batch["prot_ord"] = np.zeros((B,), np.int32)
+            del batch["d_ntok"]        # gathered on device from store lengths
+        elif self.include_llm:
             # calloc-backed zeros: np.zeros with a non-native dtype (ml_dtypes
             # bfloat16) does an explicit ~27MB fill per batch; zero uint8 pages
             # viewed as bf16 are bit-identical (0x0000 == 0.0) and lazy
@@ -196,6 +206,10 @@ class BatchLoader:
             batch["p_fill_start"][b] = prec.fill_start
             batch["labels"][b] = ds.labels[i]
 
+            if self.emb_ordinals:
+                batch["drug_ord"][b] = dord
+                batch["prot_ord"][b] = pord
+                continue
             demb = self.emb.drug(dord)
             t = min(demb.shape[0], N)
             batch["d_ntok"][b] = t

@@ -74,7 +74,9 @@ def _make_step_body(model, use_ssl: bool, use_cm: bool, calibrate: bool,
 
     def step_body(state: TrainState, batch: Dict[str, Any], rng,
                   lr_cls, lr_ssl, lr_cm, margin, cm_weight) -> StepOutput:
-        batch = decode_batch(batch)
+        batch = dict(batch)
+        store = batch.pop("_store", None)
+        batch = decode_batch(batch, store)
         drop1, drop2, mlm = jax.random.split(rng, 3)
 
         def losses_fn(params):
@@ -176,9 +178,14 @@ def make_epoch_step(model, use_ssl: bool, use_cm: bool, calibrate: bool = False,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch_step(state: TrainState, stacked: Dict[str, Any], rng,
                    lr_cls, lr_ssl, lr_cm, margin, cm_weight) -> EpochOutput:
+        stacked = dict(stacked)
+        store = stacked.pop("_store", None)   # device-resident, not scanned
+
         def scan_body(carry, batch):
             state, w, rng = carry
             rng, step_rng = jax.random.split(rng)
+            if store is not None:
+                batch = {**batch, "_store": store}
             out = body(state, batch, step_rng, lr_cls, lr_ssl, lr_cm, margin, w)
             return ((out.state, out.cm_weight, rng),
                     (out.cls_loss, out.ssl_loss, out.cm_loss))
@@ -198,7 +205,12 @@ def make_eval_scan(model, n_class: int = 1) -> Callable:
 
     @jax.jit
     def eval_scan(params, batch_stats, stacked):
+        stacked = dict(stacked)
+        store = stacked.pop("_store", None)
+
         def body(_, batch):
+            if store is not None:
+                batch = {**batch, "_store": store}
             return None, step(params, batch_stats, batch)
 
         _, (probs, losses) = jax.lax.scan(body, None, stacked)
@@ -209,7 +221,9 @@ def make_eval_scan(model, n_class: int = 1) -> Callable:
 
 def _eval_body(model, n_class: int = 1) -> Callable:
     def eval_step(params, batch_stats, batch):
-        batch = decode_batch(batch)
+        batch = dict(batch)
+        store = batch.pop("_store", None)
+        batch = decode_batch(batch, store)
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           batch, train=False)
         probs, _ = _cls_loss(out["score"], batch["labels"], n_class)

@@ -57,7 +57,7 @@ class Trainer:
                  val_loader: BatchLoader, test_loader: BatchLoader,
                  logger: Optional[ExperimentLogger] = None,
                  work_dir: str = "results/run", shard_fn=None,
-                 stacked_shard_fn=None):
+                 stacked_shard_fn=None, embed_store=None):
         self.model = model
         self.cfg = cfg
         self.train_loader = train_loader
@@ -68,6 +68,14 @@ class Trainer:
         os.makedirs(self.work_dir, exist_ok=True)
         self.shard_fn = shard_fn or (lambda b: b)
         self.stacked_shard_fn = stacked_shard_fn or (lambda b: b)
+        # device-resident frozen-embedding store (data/device_store.py):
+        # attached to every dispatched batch under "_store" (post-shard, so
+        # the fuser/stacker never see it and it is never re-uploaded)
+        self.embed_store = embed_store
+        if embed_store is not None:
+            base, sbase = self.shard_fn, self.stacked_shard_fn
+            self.shard_fn = lambda b: {**base(b), "_store": embed_store}
+            self.stacked_shard_fn = lambda b: {**sbase(b), "_store": embed_store}
 
         s = cfg.solver
         self.epochs = s.max_epoch
@@ -116,7 +124,8 @@ class Trainer:
     def init_state(self, example_batch, seed: int) -> TrainState:
         from druglamp_tpu.data.encoding import decode_batch
 
-        example = decode_batch(jax.tree.map(jnp.asarray, example_batch))
+        example = decode_batch(jax.tree.map(jnp.asarray, example_batch),
+                               store=self.embed_store)
         variables = self.model.init(
             {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
             example, jax.random.key(seed + 2), method="init_all")

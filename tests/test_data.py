@@ -313,3 +313,55 @@ def _flat(d, p=""):
         else:
             out[p + k] = v
     return out
+
+
+def test_device_store_decode_matches_host_shipping(tmp_path):
+    """Batches carrying entity ordinals + the device-resident store decode to
+    the same tensors as host-shipped embeddings (data/device_store.py)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from druglamp_tpu.data.device_store import DeviceEmbeddingStore
+    from druglamp_tpu.data.encoding import decode_batch
+    from tests.test_train import _make_csv_dataset
+    from tests.util import tiny_config
+
+    root = _make_csv_dataset(tmp_path)
+    cfg = tiny_config()
+    kw = dict(max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
+              max_prot_resis=cfg.protein.max_resis)
+    ds = DTIDataset(root, "toy", "random", "train.csv", **kw)
+
+    class Emb:
+        n_drug_feature, n_prot_feature = 24, 40
+        def drug(self, o):
+            return (np.random.RandomState(o).randn(5 + o % 7, 24)
+                    .astype(ml_dtypes.bfloat16))
+        def prot(self, o):
+            return (np.random.RandomState(100 + o).randn(9 + o % 5, 40)
+                    .astype(ml_dtypes.bfloat16))
+
+    store = DeviceEmbeddingStore.build(
+        ds.table, Emb(), max_drug_tokens=cfg.drug.max_nodes,
+        max_prot_len=cfg.protein.max_resis + 2)
+    assert store is not None
+
+    mk = lambda ords: BatchLoader(ds, 5, shuffle=True, drop_last=False,
+                                  embeddings=Emb(), prefetch=0,
+                                  include_llm=True, compact=True,
+                                  emb_ordinals=ords)
+    idx = mk(False)._order(7)[:5]
+    host = decode_batch(jax.tree.map(jnp.asarray, mk(False)._assemble(idx)))
+    ords = decode_batch(jax.tree.map(jnp.asarray, mk(True)._assemble(idx)),
+                        store=store.tree)
+    assert sorted(host) == sorted(ords)
+    for k in host:
+        if k == "cm":
+            continue
+        np.testing.assert_array_equal(np.asarray(host[k]), np.asarray(ords[k]),
+                                      err_msg=k)
+
+    # over-budget → None (fallback contract)
+    assert DeviceEmbeddingStore.build(ds.table, Emb(), 512, 1024,
+                                      budget_bytes=10) is None

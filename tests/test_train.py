@@ -393,3 +393,57 @@ def test_evaluate_scan_matches_loop(tmp_path):
     m_loop = tr_loop.evaluate(state, test_l, full=True)
     for k in m_loop:
         assert m_scan[k] == pytest.approx(m_loop[k], abs=1e-6), k
+
+
+def test_trainer_with_device_store(tmp_path):
+    """End-to-end fit with the device-resident embedding store ("_store"
+    threading through the epoch/eval scans) matches the host-shipped path's
+    first-epoch loss and completes with finite metrics."""
+    import ml_dtypes
+
+    from druglamp_tpu.data.device_store import DeviceEmbeddingStore
+
+    root = _make_csv_dataset(tmp_path)
+    cfg = tiny_config(
+        solver=SolverConfig(max_epoch=2, batch_size=4, lr=1e-3, ssl_lr=3e-4,
+                            cm_lr=1e-4, seed=1, compute_dtype="float32",
+                            scan_chunk=4),
+        rs=RSConfig(ssl=True, cm=True, init_epoch=2, epoch_step=2,
+                    max_margin=0.5, reset_epoch=10))
+    kw = dict(max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
+              max_prot_resis=cfg.protein.max_resis)
+    train = DTIDataset(root, "toy", "random", "train.csv", **kw)
+    val = DTIDataset(root, "toy", "random", "val.csv", table=train.table, **kw)
+
+    class Emb:
+        n_drug_feature, n_prot_feature = 24, 40
+        def drug(self, o):
+            return (np.random.RandomState(o).randn(6, 24)
+                    .astype(ml_dtypes.bfloat16))
+        def prot(self, o):
+            return (np.random.RandomState(50 + o).randn(11, 40)
+                    .astype(ml_dtypes.bfloat16))
+
+    store = DeviceEmbeddingStore.build(
+        train.table, Emb(), max_drug_tokens=cfg.drug.max_nodes,
+        max_prot_len=cfg.protein.max_resis + 2)
+
+    def run(use_store):
+        mk = lambda ds_, sh: BatchLoader(
+            ds_, 4, shuffle=sh, drop_last=sh, embeddings=Emb(), prefetch=0,
+            include_llm=True, compact=True, emb_ordinals=use_store)
+        tr = Trainer(build_model("DrugLAMP2C2P", cfg, 24, 40), cfg,
+                     mk(train, True), mk(val, False), mk(val, False),
+                     work_dir=str(tmp_path / f"st{use_store}"),
+                     embed_store=store.tree if use_store else None)
+        example = next(mk(train, True).epoch(0))
+        state = tr.init_state(example, seed=9)
+        state = tr.fit(state, seed=9)
+        m = tr.evaluate(state, mk(val, False), full=True)
+        return tr, m
+
+    tr_s, m_s = run(True)
+    tr_h, m_h = run(False)
+    assert np.isfinite(m_s["auroc"])
+    for k in ("auroc", "auprc", "acc"):
+        assert m_s[k] == pytest.approx(m_h[k], abs=5e-3), k
