@@ -253,6 +253,9 @@ def main(argv=None) -> int:
     bn_groups = mesh_ctx.n_data if cfg.solver.bn_mode == "per_replica" else 1
     model = build_model(args.model, cfg, n_drug_feature, n_prot_feature,
                         bn_groups=bn_groups)
+    if bn_groups > 1:
+        for ld in (train_loader, val_loader, test_loader):
+            ld.cm_groups = bn_groups
 
     logger = ExperimentLogger(
         cfg.result.output_dir, exp_name,

@@ -88,7 +88,8 @@ class BatchLoader:
                  drop_last: bool, embeddings=None, seed: int = 0,
                  prefetch: int = 2, include_llm: bool = True,
                  llm_dtype=None, compact: bool = False,
-                 cache_max_bytes: int = 2 << 30, emb_ordinals: bool = False):
+                 cache_max_bytes: int = 2 << 30, emb_ordinals: bool = False,
+                 cm_groups: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -120,6 +121,9 @@ class BatchLoader:
         self.emb_ordinals = emb_ordinals
         if emb_ordinals:
             assert compact and include_llm, "emb_ordinals requires compact LLM batches"
+        # cm_groups > 1: per-replica CM ground truth — one dense gt block per
+        # contiguous batch slice (models/cm.py groups; torch-DDP emulation)
+        self.cm_groups = cm_groups
         if llm_dtype is None:
             import ml_dtypes
 
@@ -221,9 +225,18 @@ class BatchLoader:
                 batch["xp_len"][b] = lp
 
         batch["valid"] = (np.arange(B) < n_real).astype(np.float32)
-        batch["cm"] = build_cm_arrays(ds.prot_ords[idx], ds.drug_ords[idx],
-                                      ds.labels[idx])
+        batch["cm"] = self._cm_arrays(idx)
         return batch
+
+    def _cm_arrays(self, idx):
+        ds = self.ds
+        if self.cm_groups <= 1:
+            return build_cm_arrays(ds.prot_ords[idx], ds.drug_ords[idx],
+                                   ds.labels[idx])
+        blocks = np.array_split(idx, self.cm_groups)
+        per = [build_cm_arrays(ds.prot_ords[b], ds.drug_ords[b], ds.labels[b])
+               for b in blocks]
+        return {k: np.stack([p[k] for p in per]) for k in per[0]}
 
     def _assemble_dense(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         ds = self.ds
@@ -304,8 +317,7 @@ class BatchLoader:
                         batch["xp"][b, j * lp : (j + 1) * lp] = pemb
 
         batch["valid"] = (np.arange(B) < n_real).astype(np.float32)
-        batch["cm"] = build_cm_arrays(ds.prot_ords[idx], ds.drug_ords[idx],
-                                      ds.labels[idx])
+        batch["cm"] = self._cm_arrays(idx)
         if self.compact:
             from druglamp_tpu.data.encoding import compact_batch
 

@@ -66,7 +66,7 @@ class DrugLAMPBase(nn.Module):
                              n_prot_feature=self.n_prot_feature,
                              drug_ssl_type="simsiam", n_hidden=nh,
                              bn_groups=self.bn_groups)
-        self.cm_model = CrossModality(hidden_size=nh)
+        self.cm_model = CrossModality(hidden_size=nh, groups=self.bn_groups)
 
         # Drug LLM adaptor
         self.lin_d1 = TorchDense(2 * nh, name="lin_d1")
@@ -157,12 +157,14 @@ class DrugLAMPBase(nn.Module):
         cm_inputs = out["cm_inputs"] or {"prot": out["vp"], "aug_prot": out["vp"],
                                          "drug": out["vd"], "aug_drug": out["vd"]}
         B = batch["labels"].shape[0]
+        g = self.bn_groups
+        shp = (g, B // g) if g > 1 else (B,)
         gt_arrays = {
-            "p_index": jnp.zeros((B,), jnp.int32),
-            "p_valid": jnp.ones((B,), bool),
-            "d_index": jnp.zeros((B,), jnp.int32),
-            "d_valid": jnp.ones((B,), bool),
-            "gt": jnp.zeros((B, B), jnp.float32),
+            "p_index": jnp.zeros(shp, jnp.int32),
+            "p_valid": jnp.ones(shp, bool),
+            "d_index": jnp.zeros(shp, jnp.int32),
+            "d_valid": jnp.ones(shp, bool),
+            "gt": jnp.zeros(shp + (shp[-1],), jnp.float32),
         }
         cm = self.cm_loss(cm_inputs, gt_arrays, 0.5, train=False)
         return out, ssl, cm

@@ -34,28 +34,48 @@ class Mean2Embed(nn.Module):
     """BatchNorm → ReLU → Linear over pooled embeddings (reference :166-171)."""
 
     hidden: int = 128
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, valid, train: bool = False):
-        x = MaskedBatchNorm(name="bn")(x, valid, use_running_average=not train)
+        x = MaskedBatchNorm(name="bn", groups=self.groups)(
+            x, valid, use_running_average=not train)
         x = nn.relu(x)
         return TorchDense(self.hidden, name="lin")(x)
 
 
 class CrossModality(nn.Module):
+    """``groups > 1`` = per-replica mining (torch-DDP emulation): each
+    contiguous batch block of B/groups samples mines its own triplets over
+    per-block gt arrays, each block's loss normalized by its own n_tri, and
+    the result is the mean over blocks — exactly the loss whose gradient the
+    reference's DDP grad-averaging computes (trainer.py:147).  Default
+    (groups=1) mines over the global batch."""
+
     hidden_size: int = 128
+    groups: int = 1
 
     def setup(self):
-        self.prot2latent = Mean2Embed(self.hidden_size)
-        self.aug_prot2latent = Mean2Embed(self.hidden_size)
-        self.drug2latent = Mean2Embed(self.hidden_size)
-        self.aug_drug2latent = Mean2Embed(self.hidden_size)
+        self.prot2latent = Mean2Embed(self.hidden_size, groups=self.groups)
+        self.aug_prot2latent = Mean2Embed(self.hidden_size, groups=self.groups)
+        self.drug2latent = Mean2Embed(self.hidden_size, groups=self.groups)
+        self.aug_drug2latent = Mean2Embed(self.hidden_size, groups=self.groups)
         self.to_prot_latent = TorchDense(self.hidden_size * 2, use_bias=False)
         self.to_drug_latent = TorchDense(self.hidden_size * 2, use_bias=False)
 
     def __call__(self, prot, aug_prot, drug, aug_drug,
                  p_index, p_valid, d_index, d_valid, gt,
                  margin, train: bool = True):
+        g = self.groups
+        if g > 1:
+            # per-block row indices are block-local: offset into the flat batch
+            B = prot.shape[0]
+            off = (jnp.arange(g) * (B // g))[:, None]             # (g, 1)
+            p_index = (p_index + off).reshape(-1)
+            d_index = (d_index + off).reshape(-1)
+            p_valid = p_valid.reshape(-1)
+            d_valid = d_valid.reshape(-1)
+
         # select the unique-entity representative rows (fixed shape B)
         prot = jnp.take(prot, p_index, axis=0)
         aug_prot = jnp.take(aug_prot, p_index, axis=0)
@@ -70,6 +90,12 @@ class CrossModality(nn.Module):
         p_lats = _l2norm(self.to_prot_latent(jnp.concatenate([p, ap], axis=-1)))
         d_lats = _l2norm(self.to_drug_latent(jnp.concatenate([d, ad], axis=-1)))
 
+        if g > 1:
+            n = p_lats.shape[0] // g
+            losses = jax.vmap(triplet_loss, in_axes=(0, 0, 0, 0, 0, None))(
+                p_lats.reshape(g, n, -1), d_lats.reshape(g, n, -1),
+                p_valid.reshape(g, n), d_valid.reshape(g, n), gt, margin)
+            return losses.mean()
         return triplet_loss(p_lats, d_lats, p_valid, d_valid, gt, margin)
 
 

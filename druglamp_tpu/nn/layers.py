@@ -37,19 +37,26 @@ class MaskedBatchNorm(nn.Module):
     Mean2Embed BN), while our jitted formulation keeps a fixed batch shape and
     masks invalid rows out of the statistics.  Running stats follow torch
     conventions (momentum 0.1, unbiased running var).
+
+    ``groups > 1``: per-replica stats over contiguous leading-axis blocks
+    (torch-DDP emulation, cf. TorchBatchNorm.groups); running stats follow
+    block 0 (the rank-0 checkpoint).
     """
 
     affine: bool = True
     epsilon: float = 1e-5
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, mask, use_running_average: bool = False):
         C = x.shape[-1]
+        g = self.groups
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((C,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((C,)))
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
-        else:
+            y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        elif g <= 1:
             m = mask.astype(jnp.float32)[:, None]
             n = jnp.maximum(m.sum(), 1.0)
             mean = (x * m).sum(axis=0) / n
@@ -58,7 +65,22 @@ class MaskedBatchNorm(nn.Module):
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
                 ra_var.value = 0.9 * ra_var.value + 0.1 * unbiased
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+            y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        else:
+            B = x.shape[0]
+            if B % g:
+                raise ValueError(f"leading dim {B} not divisible by groups {g}")
+            xg = x.reshape(g, B // g, C)
+            mg = mask.astype(jnp.float32).reshape(g, B // g, 1)
+            n = jnp.maximum(mg.sum(axis=1), 1.0)                 # (g, 1)
+            mean = (xg * mg).sum(axis=1) / n                     # (g, C)
+            var = (((xg - mean[:, None]) ** 2) * mg).sum(axis=1) / n
+            if not self.is_initializing():
+                unbiased = var[0] * n[0] / jnp.maximum(n[0] - 1.0, 1.0)
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean[0]
+                ra_var.value = 0.9 * ra_var.value + 0.1 * unbiased
+            y = ((xg - mean[:, None]) * jax.lax.rsqrt(var[:, None] + self.epsilon)
+                 ).reshape(B, C)
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (C,))
             bias = self.param("bias", nn.initializers.zeros, (C,))

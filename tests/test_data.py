@@ -365,3 +365,27 @@ def test_device_store_decode_matches_host_shipping(tmp_path):
     # over-budget → None (fallback contract)
     assert DeviceEmbeddingStore.build(ds.table, Emb(), 512, 1024,
                                       budget_bytes=10) is None
+
+
+def test_loader_cm_groups(tmp_path):
+    """cm_groups>1 stacks one per-block dense gt per contiguous batch slice,
+    each block equal to build_cm_arrays over that slice."""
+    from tests.test_train import _make_csv_dataset
+    from tests.util import tiny_config
+
+    root = _make_csv_dataset(tmp_path)
+    cfg = tiny_config()
+    kw = dict(max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
+              max_prot_resis=cfg.protein.max_resis)
+    ds = DTIDataset(root, "toy", "random", "train.csv", **kw)
+    ld = BatchLoader(ds, 8, shuffle=True, drop_last=True,
+                     embeddings=ZeroEmbeddings(24, 40), prefetch=0,
+                     include_llm=False, compact=True, cm_groups=2)
+    idx = ld._order(1)[:8]
+    cm = ld._assemble(idx)["cm"]
+    assert cm["gt"].shape == (2, 4, 4)
+    for g, sl in enumerate((slice(0, 4), slice(4, 8))):
+        ref = build_cm_arrays(ds.prot_ords[idx[sl]], ds.drug_ords[idx[sl]],
+                              ds.labels[idx[sl]])
+        for k in ref:
+            np.testing.assert_array_equal(cm[k][g], ref[k], err_msg=k)

@@ -313,3 +313,66 @@ print(f"RESULT pid={jax.process_index()} total={float(total)} "
     assert len(results) == 2
     assert all("total=22.0" in r for r in results), results
     assert sum("primary=True" in r for r in results) == 1
+
+
+def test_per_replica_cm_matches_independent_halves():
+    """CrossModality(groups=2) == mean of two independent CM losses computed
+    on the halves with shared params (the loss whose gradient torch-DDP's
+    grad-averaging computes when each replica mines its local batch)."""
+    from druglamp_tpu.models.cm import CrossModality
+
+    B, T, C = 8, 6, 16
+    rng = np.random.RandomState(0)
+    streams = [jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+               for _ in range(4)]
+    prot_ids = np.array([0, 0, 1, 1, 2, 2, 3, 3])
+    drug_ids = np.arange(B)
+    labels = np.array([1, 0, 1, 0, 0, 0, 1, 1], np.float32)
+
+    halves = []
+    for sl in (slice(0, 4), slice(4, 8)):
+        halves.append(build_cm_arrays(prot_ids[sl], drug_ids[sl], labels[sl]))
+    stacked = {k: jnp.asarray(np.stack([h[k] for h in halves]))
+               for k in halves[0]}
+
+    grouped = CrossModality(hidden_size=16, groups=2)
+    vars_g = grouped.init(jax.random.key(0), *streams, stacked["p_index"],
+                          stacked["p_valid"], stacked["d_index"],
+                          stacked["d_valid"], stacked["gt"], 0.5)
+    loss_g, _ = grouped.apply(vars_g, *streams, stacked["p_index"],
+                              stacked["p_valid"], stacked["d_index"],
+                              stacked["d_valid"], stacked["gt"], 0.5,
+                              train=True, mutable=["batch_stats"])
+
+    single = CrossModality(hidden_size=16, groups=1)
+    losses = []
+    for gidx, sl in enumerate((slice(0, 4), slice(4, 8))):
+        half_streams = [s[sl] for s in streams]
+        h = halves[gidx]
+        loss_h, _ = single.apply(
+            vars_g, *half_streams, jnp.asarray(h["p_index"]),
+            jnp.asarray(h["p_valid"]), jnp.asarray(h["d_index"]),
+            jnp.asarray(h["d_valid"]), jnp.asarray(h["gt"]), 0.5,
+            train=True, mutable=["batch_stats"])
+        losses.append(float(loss_h))
+    assert float(loss_g) == pytest.approx(np.mean(losses), rel=1e-5)
+
+
+def test_per_replica_full_dp8_runs_with_cm_groups():
+    """Whole 2C2P step with bn_groups=8 + per-replica CM arrays on the DP8
+    mesh: executes with finite losses."""
+    model = build_model("DrugLAMP2C2P", CFG, 24, 40, bn_groups=8)
+    batch = make_batch(CFG, B, n_drug_feature=24, n_prot_feature=40)
+    blocks = [build_cm_arrays(np.arange(i, i + 1) % 3, np.arange(i, i + 1),
+                              batch["labels"][i : i + 1]) for i in range(B)]
+    batch["cm"] = {k: np.stack([b[k] for b in blocks]) for k in blocks[0]}
+    batch = jax.tree.map(jnp.asarray, batch)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, jax.random.key(2), method="init_all")
+    state = TrainState.create(variables, use_ssl=True, use_cm=True)
+    ctx = MeshContext(make_mesh(1))
+    out = _run_step(model, ctx.shard_state(state), ctx.shard_batch(batch),
+                    use_ssl=True, use_cm=True)
+    assert np.isfinite(float(out.cls_loss))
+    assert np.isfinite(float(out.cm_loss))
