@@ -232,19 +232,27 @@ class TestPerReplicaBN:
         model_g = build_model("DrugLAMP2C2P", CFG, 24, 40)
         model_r = build_model("DrugLAMP2C2P", CFG, 24, 40, bn_groups=8)
         batch = make_batch(CFG, B, n_drug_feature=24, n_prot_feature=40)
-        batch["cm"] = build_cm_arrays(np.arange(B) % 3, np.arange(B) % 5,
-                                      batch["labels"])
+        cm_flat = build_cm_arrays(np.arange(B) % 3, np.arange(B) % 5,
+                                  batch["labels"])
+        # per-replica CM mining takes one gt block per batch slice
+        blocks = [build_cm_arrays(np.arange(i, i + 1) % 3,
+                                  np.arange(i, i + 1) % 5,
+                                  batch["labels"][i : i + 1]) for i in range(B)]
+        cm_grouped = {k: np.stack([b[k] for b in blocks]) for k in blocks[0]}
         batch = jax.tree.map(jnp.asarray, batch)
         variables = model_g.init(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-            batch, jax.random.key(2), method="init_all")
+            {**batch, "cm": jax.tree.map(jnp.asarray, cm_flat)},
+            jax.random.key(2), method="init_all")
 
         ctx = MeshContext(make_mesh(1))
         outs = {}
-        for name, model in (("global", model_g), ("replica", model_r)):
+        for name, model, cm in (("global", model_g, cm_flat),
+                                ("replica", model_r, cm_grouped)):
             state = TrainState.create(
                 jax.tree.map(jnp.copy, variables), use_ssl=True, use_cm=True)
-            out = _run_step(model, ctx.shard_state(state), ctx.shard_batch(batch),
+            b = {**batch, "cm": jax.tree.map(jnp.asarray, cm)}
+            out = _run_step(model, ctx.shard_state(state), ctx.shard_batch(b),
                             use_ssl=True, use_cm=True)
             assert np.isfinite(float(out.cls_loss)), name
             outs[name] = out
