@@ -18,6 +18,51 @@ import sys
 import time
 
 
+def _run_seed(cmd, watchdog: int) -> int:
+    """Run one seed subprocess; with watchdog > 0, kill it (rc 124) when its
+    combined output is quiet for `watchdog` seconds — a wedged remote-TPU
+    connection never recovers, while a fresh process reconnects fine."""
+    if watchdog <= 0:
+        return subprocess.call(cmd)
+    import os
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(prefix="sweep_seed_", suffix=".log",
+                                     delete=False) as f:
+        log_path = f.name
+    with open(log_path, "ab") as log:
+        proc = subprocess.Popen(cmd, stdout=log, stderr=log)
+        try:
+            poll = min(30, max(1, watchdog // 4))
+            while True:
+                try:
+                    return proc.wait(timeout=poll)
+                except subprocess.TimeoutExpired:
+                    quiet = time.time() - os.path.getmtime(log_path)
+                    if quiet > watchdog:
+                        print(f"[sweep] WATCHDOG: output quiet {quiet:.0f}s; "
+                              f"killing pid {proc.pid}", file=sys.stderr,
+                              flush=True)
+                        proc.terminate()
+                        try:
+                            proc.wait(timeout=10)
+                        except subprocess.TimeoutExpired:
+                            proc.kill()
+                            proc.wait()
+                        return 124
+        finally:
+            sys.stderr.write(_tail(log_path))
+            os.unlink(log_path)
+
+
+def _tail(path: str, n: int = 20) -> str:
+    try:
+        with open(path, "r", errors="replace") as f:
+            return "".join(f.readlines()[-n:])
+    except OSError:
+        return ""
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="DrugLAMP-TPU 5-seed sweep")
     p.add_argument("--model", required=True)
@@ -30,6 +75,11 @@ def main(argv=None) -> int:
                    help="run seeds in this process (shares jit caches: saves "
                         "the ~8-min per-seed TPU program-load startup); a "
                         "failing seed falls back to the subprocess retry loop")
+    p.add_argument("--watchdog", type=int, default=0, metavar="SECONDS",
+                   help="stall detector for subprocess seeds: kill and retry "
+                        "a run whose output goes quiet this long (tunneled "
+                        "TPU connections occasionally wedge mid-RPC while "
+                        "the chip itself stays healthy)")
     p.add_argument("--out", type=str, default=None, help="summary JSON path")
     p.add_argument("rest", nargs=argparse.REMAINDER,
                    help="extra flags forwarded to cli.main (prefix with --)")
@@ -60,7 +110,7 @@ def main(argv=None) -> int:
             attempt += 1
             print(f"[sweep] seed {seed} attempt {attempt}: {' '.join(cmd)}",
                   file=sys.stderr, flush=True)
-            rc = subprocess.call(cmd)
+            rc = _run_seed(cmd, args.watchdog)
             if rc == 0:
                 break
             print(f"[sweep] seed {seed} failed (rc={rc}); restarting...",

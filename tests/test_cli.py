@@ -97,3 +97,39 @@ def test_eval_only_requires_ckpt(capsys):
                "--split", "random", "--eval-only"])
     assert rc == 2
     assert "--ckpt" in capsys.readouterr().err
+
+
+def test_sweep_watchdog_kills_stalled_run(tmp_path, monkeypatch):
+    """--watchdog kills a seed whose output goes quiet and retries it
+    (wedged remote-TPU connection recovery, cli/sweep._run_seed)."""
+    import subprocess
+    import sys as _sys
+
+    from druglamp_tpu.cli import sweep
+
+    calls = {"n": 0}
+    real_popen = subprocess.Popen
+
+    def fake_popen(cmd, stdout=None, stderr=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # first attempt: writes once, then hangs silently
+            script = "import sys,time;print('x',flush=True);time.sleep(60)"
+        else:
+            script = "print('ok')"
+        return real_popen([_sys.executable, "-c", script],
+                          stdout=stdout, stderr=stderr)
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    rc = sweep._run_seed(["ignored"], watchdog=2)
+    assert rc == 124            # stalled run killed
+    rc = sweep._run_seed(["ignored"], watchdog=2)
+    assert rc == 0              # healthy run passes through
+
+    out = tmp_path / "s.json"
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    calls["n"] = 0
+    rc = sweep.main(["--model", "M", "--data", "d", "--seeds", "7",
+                     "--watchdog", "2", "--max-retries", "3",
+                     "--out", str(out)])
+    assert rc == 0 and calls["n"] == 2   # killed once, retried to success
