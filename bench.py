@@ -1,25 +1,41 @@
 """Benchmark: DrugLAMP training throughput (drug–target pairs/sec/chip).
 
-Runs the flagship DrugLAMP model at the reference training recipe's shapes
+Runs the flagship models at the reference training recipe's shapes
 (batch 16, 512-node drug graphs, 2304-residue tiled proteins — BASELINE.md)
 and measures steady-state jitted train-step throughput on the available
-accelerator, in three tiers:
+accelerator, in four tiers:
 
-  value (headline)        cls-only step — BCE loss, one vjp, one AdamW
-  full_step_pairs_per_sec SSL+CM step — 3 losses, 3 vjps, 3 AdamW applies
-                          (the most expensive epoch-gate variant,
-                          reference trainer.py:192-229)
+  value (headline)        DrugLAMP cls-only step — BCE loss, one vjp, one AdamW
+  ssl_step_pairs_per_sec  DrugLAMP SSL epoch-gate step (the flagship recipe's
+                          most expensive variant: configs/DrugLAMP.yaml sets
+                          SSL=True, CM=False — reference configs/DrugLAMP.yaml)
+  full_step_pairs_per_sec DrugLAMP2C2P SSL+CM step — 3 losses, 3 vjps, 3 AdamW
+                          applies (the most expensive gate variant across the
+                          model zoo; 2C2P is the only variant that emits CM
+                          inputs, reference model/DrugLAMP2C2P.py:54-63 —
+                          plain DrugLAMP returns None for cm,
+                          model/DrugLAMP.py:77)
   epoch_e2e_pairs_per_sec one full epoch wall-clock through the REAL
                           pipeline: host batch assembly from the human/random
-                          CSV, compact encoding, H2D, epoch-in-scan dispatch
+                          CSV, compact encoding, H2D, epoch-in-scan dispatch.
+                          Uses the on-disk frozen-embedding cache + the
+                          device-resident store when present
+                          (epoch_e2e_input="cache+store"); otherwise zero
+                          embeddings (epoch_e2e_input="zeros", i.e. a
+                          woLLM-shaped input cost).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline denominator: the reference repo publishes no numbers; the A100
 PyTorch throughput is DERIVED from FLOP accounting in BASELINE.md §"A100
 baseline derivation" (≈27 GFLOP/pair train at the 5–15% MFU band typical of
-small-shape eager PyTorch with per-sample torch.load input I/O → 58–173
-pairs/s; midpoint 100).  vs_baseline = value / 100.
+small-shape eager PyTorch with per-sample torch.load input I/O → a 58–173
+pairs/s BAND).  vs_baseline = value / 100 (band midpoint; systematic ±1.7×).
+
+MFU accounting (the unimpeachable number): the cls train step costs
+≈21 GFLOP/pair (BASELINE.md: fwd ≈7 GFLOP/pair ×3 for fwd+bwd), so
+tflops_per_sec = pairs/s × 0.021 and mfu = tflops / chip bf16 peak
+(TPU v5e: 197 TFLOP/s bf16).
 """
 
 from __future__ import annotations
@@ -28,30 +44,101 @@ import json
 import os
 import time
 
-A100_BASELINE_PAIRS_PER_SEC = 100.0   # derivation: BASELINE.md (5-15% MFU band)
+A100_BASELINE_PAIRS_PER_SEC = 100.0   # band midpoint: BASELINE.md (5-15% MFU)
+A100_BASELINE_BAND = (58.0, 173.0)
+TRAIN_GFLOP_PER_PAIR = 21.0           # cls step ≈ 3× fwd (BASELINE.md)
+V5E_BF16_PEAK_TFLOPS = 197.0
 BATCH = 16
 WARMUP = 3
 ITERS = 50
 DATA_ROOT = os.environ.get("DRUGLAMP_DATA_ROOT", "/root/reference/datasets")
 E2E_ROWS = int(os.environ.get("DRUGLAMP_BENCH_E2E_ROWS", "1024"))
+CACHE_ROOT = os.environ.get(
+    "DRUGLAMP_EMBED_CACHE", os.path.join("results", "embed_cache", "human-random"))
 
 
-def _measure_step(step, state, batch, args, rng):
+def make_tier(model_name: str, use_ssl: bool, use_cm: bool, cfg=None,
+              batch_size: int = BATCH, n_drug_feature: int = 384,
+              n_prot_feature: int = 640):
+    """Build (step_fn, state, batch, args) for one train-step tier.
+
+    Kept as a standalone factory so the test suite can construct every tier
+    on a tiny config (tests/test_bench_smoke.py) — a tier that only a
+    round-end driver run would execute must never ship unexercised."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from druglamp_tpu.config import Config
+    from druglamp_tpu.data.loader import build_cm_arrays
+    from druglamp_tpu.models.registry import build_model
+    from druglamp_tpu.train.state import TrainState
+    from druglamp_tpu.train.steps import make_train_step
+    from druglamp_tpu.utils.synthetic import make_batch
+
+    cfg = cfg or Config()
+    batch = make_batch(cfg, batch_size, n_drug_feature=n_drug_feature,
+                       n_prot_feature=n_prot_feature)
+    if use_cm:
+        batch["cm"] = build_cm_arrays(np.arange(batch_size) % 5,
+                                      np.arange(batch_size) % 7,
+                                      batch["labels"])
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    model = build_model(model_name, cfg, n_drug_feature=n_drug_feature,
+                        n_prot_feature=n_prot_feature)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           batch, jax.random.key(2), method="init_all")
+    state = TrainState.create(variables, use_ssl=use_ssl, use_cm=use_cm)
+    step = make_train_step(model, use_ssl=use_ssl, use_cm=use_cm)
+    args = (jnp.float32(1e-4), jnp.float32(3e-5), jnp.float32(1e-5),
+            jnp.float32(0.5), jnp.float32(1.0))
+    return step, state, batch, args
+
+
+def _measure_step(step, state, batch, args, rng, iters: int = ITERS,
+                  warmup: int = WARMUP, batch_size: int = BATCH):
     """Steady-state throughput of one jitted step fn (async dispatch: all
-    ITERS steps enqueue before blocking, so execution pipelines)."""
+    iters steps enqueue before blocking, so execution pipelines)."""
     import jax
 
-    for _ in range(WARMUP):
+    for _ in range(warmup):
         rng, k = jax.random.split(rng)
         state = step(state, batch, k, *args).state
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(iters):
         rng, k = jax.random.split(rng)
         state = step(state, batch, k, *args).state
     jax.block_until_ready(state.params)
-    return BATCH * ITERS / (time.perf_counter() - t0)
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
+def _e2e_embeddings(cfg, table):
+    """(embeddings, store, label) for the e2e tier: the real frozen-embedding
+    cache + device-resident store when the cache exists, zeros otherwise
+    (advisor r2: the zeros path excludes the dominant input cost for the LLM
+    models, so it must be labelled as such)."""
+    from druglamp_tpu.data.cache import EmbeddingCache, ZeroEmbeddings
+
+    if os.path.isdir(CACHE_ROOT):
+        import ml_dtypes
+
+        cache = EmbeddingCache(CACHE_ROOT, "human", 384, 640,
+                               dtype=ml_dtypes.bfloat16)
+        if all(cache.has_drug(o) for o in range(table.n_drug)) and \
+           all(cache.has_prot(o) for o in range(table.n_prot)):
+            from druglamp_tpu.data.device_store import DeviceEmbeddingStore
+
+            store = DeviceEmbeddingStore.build(
+                table, cache, max_drug_tokens=cfg.drug.max_nodes,
+                max_prot_len=cfg.protein.max_resis + 2)
+            if store is not None:
+                return cache, store, "cache+store"
+            return cache, None, "cache"
+    return ZeroEmbeddings(384, 640), None, "zeros"
 
 
 def _measure_epoch_e2e(cfg):
@@ -62,7 +149,6 @@ def _measure_epoch_e2e(cfg):
     import jax
     import jax.numpy as jnp
 
-    from druglamp_tpu.data.cache import ZeroEmbeddings
     from druglamp_tpu.data.dataset import DTIDataset
     from druglamp_tpu.data.loader import BatchLoader
     from druglamp_tpu.models.registry import build_model
@@ -71,19 +157,34 @@ def _measure_epoch_e2e(cfg):
 
     csv = os.path.join(DATA_ROOT, "human", "random", "train.csv")
     if not os.path.exists(csv):
-        return None
+        return None, None
     ds = DTIDataset(DATA_ROOT, "human", "random", "train.csv",
                     max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
                     max_prot_resis=cfg.protein.max_resis, cutoff=E2E_ROWS)
+    embeddings, store, input_label = _e2e_embeddings(cfg, ds.table)
     loader = BatchLoader(ds, BATCH, shuffle=True, drop_last=True,
-                         embeddings=ZeroEmbeddings(384, 640), seed=0,
-                         include_llm=True, compact=True)
+                         embeddings=embeddings, seed=0,
+                         include_llm=True, compact=True,
+                         emb_ordinals=store is not None)
+    store_tree = store.tree if store is not None else None
+
+    def shard(b):
+        b = jax.tree.map(jnp.asarray, b)
+        if store_tree is not None:
+            b["_store"] = store_tree
+        return b
+
     model = build_model("DrugLAMP", cfg)
-    example = next(iter(loader.stacked_epoch(0, cfg.solver.scan_chunk)))
+    from druglamp_tpu.data.encoding import decode_batch
+
+    example = shard(next(iter(loader.stacked_epoch(0, cfg.solver.scan_chunk))))
+    ex_one = decode_batch(
+        jax.tree.map(lambda x: jnp.asarray(x[0]),
+                     {k: v for k, v in example.items() if k != "_store"}),
+        store=store_tree)
     variables = model.init({"params": jax.random.key(0),
                             "dropout": jax.random.key(1)},
-                           jax.tree.map(lambda x: jnp.asarray(x[0]), example),
-                           jax.random.key(2), method="init_all")
+                           ex_one, jax.random.key(2), method="init_all")
     epoch_fn = make_epoch_step(model, use_ssl=False, use_cm=False)
     args = (jnp.float32(1e-4), jnp.float32(3e-5), jnp.float32(1e-5),
             jnp.float32(0.5), jnp.float32(1.0))
@@ -96,13 +197,13 @@ def _measure_epoch_e2e(cfg):
         t0 = time.perf_counter()
         for stacked in loader.stacked_epoch(ep, cfg.solver.scan_chunk):
             n += int(stacked["labels"].shape[0]) * BATCH
-            out = epoch_fn(state, jax.tree.map(jnp.asarray, stacked), rng, *args)
+            out = epoch_fn(state, shard(stacked), rng, *args)
             state, rng = out.state, out.rng
         jax.block_until_ready(state.params)
         return n / (time.perf_counter() - t0)
 
     run_epoch(0)           # warm: compiles (persistent-cache backed)
-    return run_epoch(1)
+    return run_epoch(1), input_label
 
 
 def main() -> None:
@@ -111,54 +212,43 @@ def main() -> None:
     from druglamp_tpu.utils.jaxsetup import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax.numpy as jnp
-    import numpy as np
 
     from druglamp_tpu.config import Config
-    from druglamp_tpu.data.loader import build_cm_arrays
-    from druglamp_tpu.models.registry import build_model
-    from druglamp_tpu.train.state import TrainState
-    from druglamp_tpu.train.steps import make_train_step
-    from druglamp_tpu.utils.synthetic import make_batch
 
     cfg = Config()
-    batch = make_batch(cfg, BATCH, n_drug_feature=384, n_prot_feature=640)
-    batch["cm"] = build_cm_arrays(np.arange(BATCH) % 5, np.arange(BATCH) % 7,
-                                  batch["labels"])
-    batch = jax.tree.map(jnp.asarray, batch)
 
-    model = build_model("DrugLAMP", cfg)
-    variables = model.init({"params": jax.random.key(0),
-                            "dropout": jax.random.key(1)},
-                           batch, jax.random.key(2), method="init_all")
-    args = (jnp.float32(1e-4), jnp.float32(3e-5), jnp.float32(1e-5),
-            jnp.float32(0.5), jnp.float32(1.0))
+    step, state, batch, args = make_tier("DrugLAMP", use_ssl=False,
+                                         use_cm=False, cfg=cfg)
+    cls_pps = _measure_step(step, state, batch, args, jax.random.key(3))
 
-    def fresh_state(use_ssl, use_cm):
-        return TrainState.create(jax.tree.map(jnp.copy, variables),
-                                 use_ssl=use_ssl, use_cm=use_cm)
+    step, state, batch, args = make_tier("DrugLAMP", use_ssl=True,
+                                         use_cm=False, cfg=cfg)
+    ssl_pps = _measure_step(step, state, batch, args, jax.random.key(3))
 
-    cls_pps = _measure_step(
-        make_train_step(model, use_ssl=False, use_cm=False),
-        fresh_state(False, False), batch, args, jax.random.key(3))
-
-    full_pps = _measure_step(
-        make_train_step(model, use_ssl=True, use_cm=True),
-        fresh_state(True, True), batch, args, jax.random.key(3))
+    step, state, batch, args = make_tier("DrugLAMP2C2P", use_ssl=True,
+                                         use_cm=True, cfg=cfg)
+    full_pps = _measure_step(step, state, batch, args, jax.random.key(3))
 
     try:
-        e2e_pps = _measure_epoch_e2e(cfg)
+        e2e_pps, e2e_input = _measure_epoch_e2e(cfg)
     except Exception as e:   # the headline number must survive a bad e2e env
         print(f"[bench] epoch_e2e failed: {e!r}", flush=True)
-        e2e_pps = None
+        e2e_pps, e2e_input = None, None
 
+    tflops = cls_pps * TRAIN_GFLOP_PER_PAIR / 1e3
     print(json.dumps({
         "metric": "train_pairs_per_sec_per_chip",
         "value": round(cls_pps, 2),
         "unit": "pairs/s",
         "vs_baseline": round(cls_pps / A100_BASELINE_PAIRS_PER_SEC, 3),
+        "vs_baseline_band": [round(cls_pps / A100_BASELINE_BAND[1], 2),
+                             round(cls_pps / A100_BASELINE_BAND[0], 2)],
+        "tflops_per_sec": round(tflops, 1),
+        "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 3),
+        "ssl_step_pairs_per_sec": round(ssl_pps, 2),
         "full_step_pairs_per_sec": round(full_pps, 2),
         "epoch_e2e_pairs_per_sec": round(e2e_pps, 2) if e2e_pps else None,
+        "epoch_e2e_input": e2e_input,
         "baseline_derivation": "BASELINE.md#a100-baseline-derivation",
     }))
 

@@ -86,6 +86,20 @@ def atom_features_matrix(mol: Molecule) -> np.ndarray:
     return out
 
 
+def warn_oversized(smiles: str, n_atoms: int, max_nodes: int) -> None:
+    """One policy for molecules over max_nodes: truncate to the first
+    max_nodes atoms (dropping bonds that touch truncated atoms) and warn.
+    Shared by chem.featurize.drug_graph_arrays and data.dataset.featurize_drug
+    so the training path and the documented array contract agree."""
+    import warnings
+
+    warnings.warn(
+        f"molecule {smiles[:40]!r}... has {n_atoms} atoms > "
+        f"max_nodes={max_nodes}; truncating (the reference pre-filters its "
+        f"datasets so this is out-of-distribution input)",
+        RuntimeWarning, stacklevel=3)
+
+
 def drug_graph_arrays(
     smiles: str,
     max_nodes: int = 512,
@@ -102,22 +116,27 @@ def drug_graph_arrays(
       degrees:    (max_nodes,) float32 — row sums of adj (sym-norm degrees).
       n_atoms:    () int32.
 
-    Molecules larger than max_nodes raise ValueError (the reference would
-    crash on the reshape in MolecularGCN; datasets are pre-filtered).
+    Molecules larger than max_nodes are truncated to their first max_nodes
+    atoms with a warning — the single oversized-molecule policy shared with
+    data/dataset.py::featurize_drug (the reference would crash on the
+    reshape in MolecularGCN; its shipped datasets are pre-filtered, so this
+    only fires on out-of-distribution inputs).
     """
     if mol is None:
         mol = parse_smiles(smiles)
     n = mol.num_atoms
     if n > max_nodes:
-        raise ValueError(f"molecule has {n} atoms > max_nodes={max_nodes}")
+        warn_oversized(smiles, n, max_nodes)
+        n = max_nodes
     feats = np.zeros((max_nodes, ATOM_FEATURE_DIM + 1), dtype=np.float32)
-    feats[:n, :ATOM_FEATURE_DIM] = atom_features_matrix(mol)
+    feats[:n, :ATOM_FEATURE_DIM] = atom_features_matrix(mol)[:n]
     feats[n:, ATOM_FEATURE_DIM] = 1.0  # virtual-node bit
 
     adj = np.zeros((max_nodes, max_nodes), dtype=np.uint8)
     for bd in mol.bonds:
-        adj[bd.a, bd.b] = 1
-        adj[bd.b, bd.a] = 1
+        if bd.a < n and bd.b < n:
+            adj[bd.a, bd.b] = 1
+            adj[bd.b, bd.a] = 1
     idx = np.arange(max_nodes)
     adj[idx, idx] = 1            # one self-loop everywhere (virtual nodes)
     adj[idx[:n], idx[:n]] = 2    # double self-loop on real atoms

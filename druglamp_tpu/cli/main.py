@@ -78,6 +78,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt", type=str, default=None,
                    help="checkpoint directory for --eval-only (a trainer "
                         "ckpt_best/ckpt_last path)")
+    p.add_argument("--allow-zero-embeddings", action="store_true",
+                   help="let --eval-only proceed with zero LLM embeddings "
+                        "when caches are missing (otherwise it refuses: "
+                        "scoring an LLM-stream model on zeros records "
+                        "meaningless metrics)")
+    p.add_argument("--esm-ckpt", type=str, default=None,
+                   help="local ESM-2 checkpoint (torch state_dict .pt or "
+                        ".safetensors, HF- or fair-esm-named) used by "
+                        "--gen-embed instead of random init")
+    p.add_argument("--chemberta-ckpt", type=str, default=None,
+                   help="local ChemBERTa checkpoint (torch state_dict .pt "
+                        "or .safetensors, HF-named) used by --gen-embed "
+                        "instead of random init")
     return p
 
 
@@ -99,6 +112,21 @@ def resolve_split_files(data_root: str, data: str, split: str,
                   f"training on target_train.csv", file=sys.stderr)
             train_file = "target_train.csv"
     return train_file, "target_test.csv", "target_test.csv"
+
+
+def _cache_dir(args, work_dir: str, table) -> str:
+    """Embedding-cache directory for a dataset's entity table.
+
+    Cache files are keyed by entity ORDINAL.  full.csv ordinals are stable
+    across splits (reference dataset.py:92-98) so the cache is shared per
+    dataset; split-union fallback ordinals are split-local, so the cache is
+    namespaced per split — otherwise a human/cold run would silently read
+    human/random's cache with wrong entity↔embedding pairings."""
+    if args.work_dir:
+        return os.path.join(work_dir, "embed_cache")
+    name = args.data if table.ordinal_scope == "full" else \
+        f"{args.data}-{table.ordinal_scope}"
+    return os.path.join(os.path.dirname(work_dir), "embed_cache", name)
 
 
 def main(argv=None) -> int:
@@ -183,8 +211,7 @@ def main(argv=None) -> int:
         table=train_ds.table, **kw)
 
     needs_llm = args.model != "DrugLAMPwoLLM"
-    cache_dir = os.path.join(work_dir, "embed_cache") if args.work_dir else \
-        os.path.join(os.path.dirname(work_dir), "embed_cache", args.data)
+    cache_dir = _cache_dir(args, work_dir, train_ds.table)
     if needs_llm:
         import ml_dtypes
 
@@ -197,7 +224,8 @@ def main(argv=None) -> int:
             # (esm2_t48_15B does not fit one chip — reference main.py:12-18)
             embed_mesh = make_mesh(args.mesh_model) if args.mesh_model > 1 else None
             generate_embeddings(train_ds.table, cache, n_layer=args.n_layer,
-                                mesh=embed_mesh)
+                                mesh=embed_mesh, esm_ckpt=args.esm_ckpt,
+                                chemberta_ckpt=args.chemberta_ckpt)
             # LLM-dim sidecar for reference-workflow familiarity
             # (handler/dataset.py:107-117 writes configs/{n}_layers_params.txt)
             sidecar = os.path.join(work_dir, f"{args.n_layer}_layers_params.txt")
@@ -272,7 +300,7 @@ def main(argv=None) -> int:
                       shard_fn=mesh_ctx.fused_shard_batch,
                       stacked_shard_fn=mesh_ctx.shard_stacked_batch,
                       embed_store=store.tree if store is not None else None)
-    example = next(train_loader.epoch(0))
+    example = train_loader.first_batch()
     metrics = trainer.run_experiment(example, seed=cfg.solver.seed, resume=args.resume)
     print({f"test_{k}": round(v, 5) for k, v in metrics.items()})
     logger.close()
@@ -294,15 +322,26 @@ def _eval_only(args, cfg, test_ds, work_dir, n_drug_feature, n_prot_feature) -> 
 
     needs_llm = args.model != "DrugLAMPwoLLM"
     if needs_llm:
-        cache_dir = os.path.join(work_dir, "embed_cache") if args.work_dir else \
-            os.path.join(os.path.dirname(work_dir), "embed_cache", args.data)
+        cache_dir = _cache_dir(args, work_dir, test_ds.table)
         cache = EmbeddingCache(cache_dir, args.data, n_drug_feature,
                                n_prot_feature)
         if args.gen_embed:
             from druglamp_tpu.encoders.embed_pipeline import generate_embeddings
 
-            generate_embeddings(test_ds.table, cache, n_layer=args.n_layer)
-        have_all = all(cache.has_drug(o) for o in range(test_ds.table.n_drug))
+            generate_embeddings(test_ds.table, cache, n_layer=args.n_layer,
+                                esm_ckpt=args.esm_ckpt,
+                                chemberta_ckpt=args.chemberta_ckpt)
+        have_all = (
+            all(cache.has_drug(o) for o in range(test_ds.table.n_drug))
+            and all(cache.has_prot(o) for o in range(test_ds.table.n_prot)))
+        if not have_all and not args.allow_zero_embeddings:
+            # an LLM-stream model scored on zero embeddings records
+            # meaningless metrics as results — refuse unless explicitly asked
+            print(f"error: embedding caches missing from {cache_dir}; "
+                  f"run with --gen-embed to populate them, or pass "
+                  f"--allow-zero-embeddings to proceed anyway",
+                  file=sys.stderr)
+            return 3
         embeddings = cache if have_all else ZeroEmbeddings(n_drug_feature,
                                                            n_prot_feature)
         if not have_all:
@@ -320,7 +359,7 @@ def _eval_only(args, cfg, test_ds, work_dir, n_drug_feature, n_prot_feature) -> 
     model = build_model(args.model, cfg, n_drug_feature, n_prot_feature)
     trainer = Trainer(model, cfg, test_loader, test_loader, test_loader,
                       work_dir=work_dir, shard_fn=mesh_ctx.fused_shard_batch)
-    example = next(test_loader.epoch(0))
+    example = test_loader.first_batch()
     state = trainer.init_state(example, seed=cfg.solver.seed)
     if not os.path.exists(args.ckpt):
         print(f"error: checkpoint {args.ckpt!r} not found", file=sys.stderr)

@@ -18,29 +18,40 @@ import sys
 import time
 
 
-def _run_seed(cmd, watchdog: int) -> int:
+def _run_seed(cmd, watchdog: int, grace: int = 0,
+              log_dir: str = "logs/sweep") -> int:
     """Run one seed subprocess; with watchdog > 0, kill it (rc 124) when its
     combined output is quiet for `watchdog` seconds — a wedged remote-TPU
-    connection never recovers, while a fresh process reconnects fine."""
+    connection never recovers, while a fresh process reconnects fine.
+
+    Before the FIRST byte of output the threshold is `grace` (default
+    4×watchdog, floor 30 min): process startup, first-epoch XLA compile and
+    --gen-embed encoder inference are legitimately silent far longer than a
+    steady-state epoch gap, and killing during them restarts from scratch
+    forever (advisor r2).  The child's log persists under `log_dir` on
+    failure for postmortems and is deleted only on success."""
     if watchdog <= 0:
         return subprocess.call(cmd)
     import os
-    import tempfile
 
-    with tempfile.NamedTemporaryFile(prefix="sweep_seed_", suffix=".log",
-                                     delete=False) as f:
-        log_path = f.name
+    grace = grace if grace > 0 else max(4 * watchdog, 1800)
+    os.makedirs(log_dir, exist_ok=True)
+    log_path = os.path.join(
+        log_dir, f"seed_{time.strftime('%m%d_%H%M%S')}_{os.getpid()}.log")
+    rc = None
     with open(log_path, "ab") as log:
         proc = subprocess.Popen(cmd, stdout=log, stderr=log)
         try:
             poll = min(30, max(1, watchdog // 4))
-            while True:
+            while rc is None:
                 try:
-                    return proc.wait(timeout=poll)
+                    rc = proc.wait(timeout=poll)
                 except subprocess.TimeoutExpired:
                     quiet = time.time() - os.path.getmtime(log_path)
-                    if quiet > watchdog:
-                        print(f"[sweep] WATCHDOG: output quiet {quiet:.0f}s; "
+                    started = os.path.getsize(log_path) > 0
+                    if quiet > (watchdog if started else grace):
+                        print(f"[sweep] WATCHDOG: output quiet {quiet:.0f}s "
+                              f"({'running' if started else 'startup'}); "
                               f"killing pid {proc.pid}", file=sys.stderr,
                               flush=True)
                         proc.terminate()
@@ -49,10 +60,18 @@ def _run_seed(cmd, watchdog: int) -> int:
                         except subprocess.TimeoutExpired:
                             proc.kill()
                             proc.wait()
-                        return 124
+                        rc = 124
         finally:
+            if rc is None:       # exception path: don't leak the child
+                proc.kill()
+                proc.wait()
             sys.stderr.write(_tail(log_path))
-            os.unlink(log_path)
+            if rc == 0:
+                os.unlink(log_path)
+            else:
+                print(f"[sweep] child log kept at {log_path}",
+                      file=sys.stderr, flush=True)
+    return rc
 
 
 def _tail(path: str, n: int = 20) -> str:
@@ -80,6 +99,10 @@ def main(argv=None) -> int:
                         "a run whose output goes quiet this long (tunneled "
                         "TPU connections occasionally wedge mid-RPC while "
                         "the chip itself stays healthy)")
+    p.add_argument("--watchdog-grace", type=int, default=0, metavar="SECONDS",
+                   help="quiet threshold before the first output byte "
+                        "(startup/compile/embed-gen); default max(4×watchdog, "
+                        "30 min)")
     p.add_argument("--out", type=str, default=None, help="summary JSON path")
     p.add_argument("rest", nargs=argparse.REMAINDER,
                    help="extra flags forwarded to cli.main (prefix with --)")
@@ -110,7 +133,7 @@ def main(argv=None) -> int:
             attempt += 1
             print(f"[sweep] seed {seed} attempt {attempt}: {' '.join(cmd)}",
                   file=sys.stderr, flush=True)
-            rc = _run_seed(cmd, args.watchdog)
+            rc = _run_seed(cmd, args.watchdog, grace=args.watchdog_grace)
             if rc == 0:
                 break
             print(f"[sweep] seed {seed} failed (rc={rc}); restarting...",

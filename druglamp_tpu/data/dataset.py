@@ -53,6 +53,9 @@ class EntityTable:
     prot2ord: Dict[str, int] = field(default_factory=dict)
     drugs: Dict[int, DrugRecord] = field(default_factory=dict)
     prots: Dict[int, ProtRecord] = field(default_factory=dict)
+    # "full" when ordinals come from full.csv (split-stable, reference
+    # dataset.py:92-98); otherwise the split name (split-local fallback)
+    ordinal_scope: str = "full"
 
     @property
     def n_drug(self):
@@ -71,13 +74,20 @@ def _read_csv(path: str) -> List[dict]:
 def build_entity_table(dataset_dir: str, split: str, max_nodes: int,
                        max_prot_resis: int, seq_len: int,
                        splits_glob: Optional[List[str]] = None) -> EntityTable:
-    """Assign ordinals from full.csv if present, else union of split CSVs."""
+    """Assign ordinals from full.csv if present, else union of split CSVs.
+
+    ``table.ordinal_scope`` records which: "full" ordinals are stable across
+    every split of the dataset (reference dataset.py:92-98); split-union
+    fallback ordinals are only stable WITHIN that split, so anything keyed by
+    them (the embedding cache) must be namespaced per split."""
     table = EntityTable()
     sources: List[str] = []
     full = os.path.join(dataset_dir, "full.csv")
     if os.path.exists(full):
         sources.append(full)
+        table.ordinal_scope = "full"
     else:
+        table.ordinal_scope = split
         split_dir = os.path.join(dataset_dir, split)
         for fn in sorted(os.listdir(split_dir)):
             if fn.endswith(".csv"):
@@ -100,6 +110,10 @@ def build_entity_table(dataset_dir: str, split: str, max_nodes: int,
 
 def featurize_drug(smiles: str, ordinal: int, max_nodes: int) -> DrugRecord:
     mol = parse_smiles(smiles)
+    if mol.num_atoms > max_nodes:
+        from druglamp_tpu.chem.featurize import warn_oversized
+
+        warn_oversized(smiles, mol.num_atoms, max_nodes)
     n = min(mol.num_atoms, max_nodes)
     feats = atom_features_matrix(mol)[:n]
     src, dst = [], []

@@ -326,6 +326,14 @@ class BatchLoader:
             batch = compact_batch(batch, n_atoms)
         return batch
 
+    def first_batch(self, epoch: int = 0) -> Dict[str, np.ndarray]:
+        """One batch, assembled synchronously — for model init / example
+        shapes.  ``next(loader.epoch(0))`` abandons the prefetch generator,
+        leaving its worker thread parked on a full queue holding batches;
+        this path never starts a thread."""
+        order = self._order(epoch)
+        return self._assemble(order[: self.batch_size])
+
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         if self.cache_batches and self._batch_cache is not None:
             yield from self._batch_cache
@@ -343,13 +351,26 @@ class BatchLoader:
         if collected is not None:
             self._batch_cache = collected
 
+    # Byte cap for one stacked chunk.  When the device-resident embedding
+    # store is unavailable (over HBM budget) batches carry dense LLM
+    # embeddings (~27-53 MB each): stacking scan_chunk=64 of them with
+    # 2-deep prefetch would spike multiple GB of H2D/HBM exactly on the
+    # large datasets where HBM is already tight (advisor r2) — so the chunk
+    # shrinks to fit.  Ordinal/woLLM batches are ~100× smaller and never hit
+    # the cap.
+    STACKED_CHUNK_CAP_BYTES = 512 << 20
+
     def stacked_epoch(self, epoch: int,
                       chunk: int) -> Iterator[Dict[str, np.ndarray]]:
         """Yield the epoch's batches stacked along a new leading step axis,
         at most ``chunk`` steps per yield — the host-side feed for the
         epoch-in-scan driver (train/steps.make_epoch_step), which runs a
-        whole chunk in ONE device dispatch."""
+        whole chunk in ONE device dispatch.  The chunk is byte-capped (see
+        STACKED_CHUNK_CAP_BYTES); the effective size is fixed from the first
+        batch so every full chunk of an epoch has one shape (one scan
+        compile; the trailing partial chunk is a second, amortized trace)."""
         pending = []
+        eff_chunk = chunk
 
         def flush():
             stacked = _tree_stack(pending)
@@ -357,8 +378,12 @@ class BatchLoader:
             return stacked
 
         for batch in self.epoch(epoch):
+            if eff_chunk == chunk and not pending:
+                per = _batch_nbytes(batch)
+                if per * chunk > self.STACKED_CHUNK_CAP_BYTES:
+                    eff_chunk = max(1, self.STACKED_CHUNK_CAP_BYTES // per)
             pending.append(batch)
-            if len(pending) >= chunk:
+            if len(pending) >= eff_chunk:
                 yield flush()
         if pending:
             yield flush()

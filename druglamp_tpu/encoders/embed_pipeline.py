@@ -40,6 +40,29 @@ from druglamp_tpu.encoders.esm2 import (ESM2, ESM_PAD, esm2_config_for_layers,
 _BUCKETS = (1032,)
 
 
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a local encoder checkpoint file into a flat {name: array} dict.
+
+    Accepts .safetensors or a torch-pickled .pt/.pth/.bin (either a bare
+    state_dict, an HF save with 'state_dict', or a fair-esm download with
+    'model' — reference handler/dataset.py:54-63 loads these same artifacts
+    through esm.pretrained/transformers.from_pretrained)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and isinstance(obj.get("model"), dict):
+        obj = obj["model"]                      # fair-esm layout
+    if isinstance(obj, dict) and isinstance(obj.get("state_dict"), dict):
+        obj = obj["state_dict"]                 # lightning/HF layout
+    if not isinstance(obj, dict):
+        obj = obj.state_dict()                  # a pickled nn.Module
+    return obj
+
+
 def _bucket(n: int) -> int:
     for b in _BUCKETS:
         if n <= b:
@@ -70,15 +93,30 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
                         batch: int = 8, max_prot_resis: int = 1022,
                         max_drug_tokens: int = 512, seed: int = 0,
                         dtype=jnp.float32, mesh=None,
+                        esm_ckpt: Optional[str] = None,
+                        chemberta_ckpt: Optional[str] = None,
                         verbose: bool = True) -> None:
     """Populate ``cache`` with every missing entity embedding in ``table``.
 
     ``mesh``: optional jax.sharding.Mesh with a 'model' axis — the ESM stack
     is tensor-parallel-sharded over it (required for esm2_t48_15B, which does
-    not fit one chip)."""
+    not fit one chip).
+
+    ``esm_ckpt`` / ``chemberta_ckpt``: local checkpoint file paths
+    (.pt/.safetensors, HF or fair-esm naming) converted via
+    encoders/convert.py — the moment real pretrained weights are on disk,
+    one --gen-embed run produces real caches."""
     # --- proteins (ESM-2) ---------------------------------------------------
     esm_cfg = esm2_config_for_layers(n_layer)
     esm = ESM2(esm_cfg, dtype=dtype)
+    if esm_params is None and esm_ckpt:
+        from druglamp_tpu.encoders.convert import esm2_params_from_torch
+
+        if verbose:
+            print(f"[embed] loading ESM-2 weights from {esm_ckpt}",
+                  file=sys.stderr)
+        esm_params = esm2_params_from_torch(
+            load_torch_state_dict(esm_ckpt), num_layers=esm_cfg.num_layers)
     if esm_params is None:
         if verbose:
             print("[embed] WARNING: no ESM-2 checkpoint given; using "
@@ -110,6 +148,14 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
     if tokenizer.vocab_size > cb_cfg.vocab:
         cb_cfg = ChemBERTaConfig(**{**cb_cfg.__dict__, "vocab": tokenizer.vocab_size})
     cb = ChemBERTa(cb_cfg, dtype=dtype)
+    if chemberta_params is None and chemberta_ckpt:
+        from druglamp_tpu.encoders.convert import chemberta_params_from_torch
+
+        if verbose:
+            print(f"[embed] loading ChemBERTa weights from {chemberta_ckpt}",
+                  file=sys.stderr)
+        chemberta_params = chemberta_params_from_torch(
+            load_torch_state_dict(chemberta_ckpt), num_layers=cb_cfg.num_layers)
     if chemberta_params is None:
         if verbose:
             print("[embed] WARNING: no ChemBERTa checkpoint given; using "

@@ -1,0 +1,91 @@
+"""Driver-artifact smoke tests.
+
+Round 1 shipped a broken dryrun_multichip; round 2 shipped a bench.py tier
+that crashed on first execution (the SSL+CM tier built plain DrugLAMP, whose
+forward emits cm_inputs=None — reference model/DrugLAMP.py:77 — then indexed
+it).  These tests execute every driver-facing entry point in-suite so that
+class of bug cannot ship unexercised again:
+
+- every bench.py train-step tier, constructed exactly as bench.main() does
+  (same model names + gate flags), on a tiny config;
+- the epoch-e2e tier's embedding resolution;
+- __graft_entry__.entry() forward (slow tier: full recipe shapes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bench
+from druglamp_tpu.utils.synthetic import tiny_config
+
+# (model, use_ssl, use_cm) for every tier bench.main() measures — keep in
+# sync with bench.main; the whole point is to execute main's constructions.
+BENCH_TIERS = [
+    ("DrugLAMP", False, False),
+    ("DrugLAMP", True, False),
+    ("DrugLAMP2C2P", True, True),
+]
+
+
+@pytest.mark.parametrize("model_name,use_ssl,use_cm", BENCH_TIERS)
+def test_bench_tier_constructs_and_steps(model_name, use_ssl, use_cm):
+    cfg = tiny_config()
+    step, state, batch, args = bench.make_tier(
+        model_name, use_ssl=use_ssl, use_cm=use_cm, cfg=cfg,
+        batch_size=4, n_drug_feature=24, n_prot_feature=40)
+    out = step(state, batch, jax.random.key(0), *args)
+    assert np.isfinite(float(out.cls_loss))
+    if use_ssl:
+        assert np.isfinite(float(out.ssl_loss))
+    if use_cm:
+        assert np.isfinite(float(out.cm_loss))
+
+
+def test_bench_main_tier_list_matches_source():
+    """bench.main() must only build tiers this suite exercises."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    calls = [l.strip() for l in src.splitlines() if "make_tier(" in l]
+    assert len(calls) == len(BENCH_TIERS)
+    for (model_name, _, _), line in zip(BENCH_TIERS, calls):
+        assert f'"{model_name}"' in line, (line, model_name)
+
+
+def test_bench_e2e_embedding_resolution(tmp_path, monkeypatch):
+    """_e2e_embeddings falls back to zeros when no cache dir exists."""
+    from druglamp_tpu.config import Config
+    from druglamp_tpu.data.cache import ZeroEmbeddings
+
+    monkeypatch.setattr(bench, "CACHE_ROOT", str(tmp_path / "nope"))
+
+    class T:
+        n_drug = 2
+        n_prot = 2
+
+    emb, store, label = bench._e2e_embeddings(Config(), T())
+    assert isinstance(emb, ZeroEmbeddings)
+    assert store is None and label == "zeros"
+
+
+@pytest.mark.slow
+def test_graft_entry_forward():
+    """What the driver compile-checks: entry() at full recipe shapes."""
+    import __graft_entry__ as ge
+
+    fn, example_args = ge.entry()
+    score = jax.jit(fn)(*example_args)
+    assert score.shape[0] == 16
+    assert np.all(np.isfinite(np.asarray(score, dtype=np.float32)))
+
+
+@pytest.mark.slow
+def test_bench_measure_step_full_shapes():
+    """One warmup+measure iteration of the headline tier at real shapes."""
+    step, state, batch, args = bench.make_tier("DrugLAMP", use_ssl=False,
+                                               use_cm=False)
+    pps = bench._measure_step(step, state, batch, args, jax.random.key(0),
+                              iters=1, warmup=1)
+    assert pps > 0

@@ -121,10 +121,16 @@ def test_sweep_watchdog_kills_stalled_run(tmp_path, monkeypatch):
                           stdout=stdout, stderr=stderr)
 
     monkeypatch.setattr(subprocess, "Popen", fake_popen)
-    rc = sweep._run_seed(["ignored"], watchdog=2)
+    ld = str(tmp_path / "wdlogs")
+    rc = sweep._run_seed(["ignored"], watchdog=2, log_dir=ld)
     assert rc == 124            # stalled run killed
-    rc = sweep._run_seed(["ignored"], watchdog=2)
+    # failure log persisted for postmortems (advisor r2)
+    import os as _os
+    assert any(f.endswith(".log") for f in _os.listdir(ld))
+    rc = sweep._run_seed(["ignored"], watchdog=2, log_dir=ld)
     assert rc == 0              # healthy run passes through
+    # success logs are cleaned up (only the failure log remains)
+    assert len(_os.listdir(ld)) == 1
 
     out = tmp_path / "s.json"
     monkeypatch.setattr(subprocess, "Popen", fake_popen)
@@ -133,3 +139,70 @@ def test_sweep_watchdog_kills_stalled_run(tmp_path, monkeypatch):
                      "--watchdog", "2", "--max-retries", "3",
                      "--out", str(out)])
     assert rc == 0 and calls["n"] == 2   # killed once, retried to success
+
+
+def test_sweep_watchdog_grace_covers_silent_startup(tmp_path, monkeypatch):
+    """A child that is silent longer than the watchdog BEFORE its first
+    output survives (startup/compile/embed-gen grace, advisor r2); the
+    steady-state threshold only applies after output begins."""
+    import subprocess
+    import sys as _sys
+
+    from druglamp_tpu.cli import sweep
+
+    real_popen = subprocess.Popen
+
+    def fake_popen(cmd, stdout=None, stderr=None):
+        # silent for 4s (>> watchdog=1), then prints and exits cleanly
+        script = "import time;time.sleep(4);print('late ok',flush=True)"
+        return real_popen([_sys.executable, "-c", script],
+                          stdout=stdout, stderr=stderr)
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    rc = sweep._run_seed(["ignored"], watchdog=1, grace=120,
+                         log_dir=str(tmp_path / "wdlogs"))
+    assert rc == 0
+
+
+def test_eval_only_refuses_zero_embeddings(tmp_path, capsys):
+    """--eval-only on an LLM-stream model with missing embedding caches must
+    exit non-zero instead of silently scoring on zeros (VERDICT r2 #7);
+    --allow-zero-embeddings is the explicit escape hatch."""
+    import os
+
+    from druglamp_tpu.cli.main import main
+
+    # tiny dataset: reuse the shipped human/random test.csv via cutoff
+    ckpt = tmp_path / "ckpt_best"
+    ckpt.mkdir()
+    rc = main(["--model", "DrugLAMP", "--data", "human", "--split", "random",
+               "--eval-only", "--ckpt", str(ckpt), "--cutoff", "8",
+               "--work-dir", str(tmp_path / "work")])
+    assert rc == 3
+    assert "--allow-zero-embeddings" in capsys.readouterr().err
+
+
+def test_cache_dir_namespaced_by_ordinal_scope(tmp_path):
+    """Split-union fallback ordinals are split-local, so the embedding cache
+    must be namespaced per split (a human/cold run must never read
+    human/random's ordinal-keyed cache); full.csv ordinals are split-stable
+    and share one cache per dataset (reference dataset.py:92-98)."""
+    from types import SimpleNamespace
+
+    from druglamp_tpu.cli.main import _cache_dir
+
+    args = SimpleNamespace(work_dir=None, data="human")
+    t_random = SimpleNamespace(ordinal_scope="random")
+    t_cold = SimpleNamespace(ordinal_scope="cold")
+    t_full = SimpleNamespace(ordinal_scope="full")
+    wd = str(tmp_path / "results" / "exp1")
+    d_random = _cache_dir(args, wd, t_random)
+    d_cold = _cache_dir(args, wd, t_cold)
+    d_full = _cache_dir(args, wd, t_full)
+    assert d_random != d_cold
+    assert d_random.endswith("human-random")
+    assert d_cold.endswith("human-cold")
+    assert d_full.endswith("human")
+    # explicit --work-dir keeps the cache inside it regardless of scope
+    args2 = SimpleNamespace(work_dir="/w", data="human")
+    assert _cache_dir(args2, "/w", t_cold) == "/w/embed_cache"

@@ -389,3 +389,31 @@ def test_loader_cm_groups(tmp_path):
                               ds.labels[idx[sl]])
         for k in ref:
             np.testing.assert_array_equal(cm[k][g], ref[k], err_msg=k)
+
+
+def test_stacked_epoch_byte_cap(monkeypatch):
+    """Dense-LLM batches shrink the stacked chunk to fit the byte cap
+    (advisor r2: scan_chunk=64 of ~27MB host-shipped embedding batches
+    spikes multi-GB H2D); small batches are unaffected."""
+    import numpy as np
+
+    from druglamp_tpu.data import loader as loader_mod
+
+    class FakeLoader(loader_mod.BatchLoader):
+        def __init__(self, per_batch_kb, n_batches):
+            self._n = n_batches
+            self._arr = np.zeros(per_batch_kb * 256, np.float32)  # kb*1024 bytes
+
+        def epoch(self, epoch=0):
+            for _ in range(self._n):
+                yield {"x": self._arr}
+
+    fl = FakeLoader(per_batch_kb=64, n_batches=8)
+    monkeypatch.setattr(FakeLoader, "STACKED_CHUNK_CAP_BYTES", 128 * 1024)
+    # 64 KB per batch, 128 KB cap → 2 batches per chunk even though chunk=8
+    chunks = list(fl.stacked_epoch(0, 8))
+    assert [c["x"].shape[0] for c in chunks] == [2, 2, 2, 2]
+
+    monkeypatch.setattr(FakeLoader, "STACKED_CHUNK_CAP_BYTES", 1 << 30)
+    chunks = list(fl.stacked_epoch(0, 8))
+    assert [c["x"].shape[0] for c in chunks] == [8]

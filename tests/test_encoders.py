@@ -253,3 +253,85 @@ def test_esm2_tp_real_kernels_at_5120():
     out = jax.jit(lambda v, x: layer.apply(v, x, pad))(sharded_vars, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_local_checkpoint_file_roundtrip(hf_esm, hf_roberta, tmp_path):
+    """--esm-ckpt / --chemberta-ckpt wiring: a checkpoint saved to disk in
+    any supported container (bare state_dict .pt, fair-esm 'model' dict,
+    safetensors) converts to the same flax params as in-memory conversion
+    (reference handler/dataset.py:54-63 loads the same artifacts)."""
+    from druglamp_tpu.encoders.embed_pipeline import load_torch_state_dict
+
+    ref = esm2_params_from_torch(hf_esm.state_dict(), num_layers=2)
+
+    p1 = str(tmp_path / "esm_bare.pt")
+    torch.save(hf_esm.state_dict(), p1)
+    p2 = str(tmp_path / "esm_fairesm.pt")
+    torch.save({"model": hf_esm.state_dict(), "cfg": {}}, p2)
+    paths = [p1, p2]
+    try:
+        from safetensors.torch import save_file
+
+        p3 = str(tmp_path / "esm.safetensors")
+        save_file({k: v.contiguous() for k, v in hf_esm.state_dict().items()}, p3)
+        paths.append(p3)
+    except ImportError:
+        pass
+
+    for path in paths:
+        got = esm2_params_from_torch(load_torch_state_dict(path), num_layers=2)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), ref, got)
+
+    ref_cb = chemberta_params_from_torch(hf_roberta.state_dict(), num_layers=2)
+    pc = str(tmp_path / "chemberta.pt")
+    torch.save(hf_roberta.state_dict(), pc)
+    got_cb = chemberta_params_from_torch(load_torch_state_dict(pc), num_layers=2)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), ref_cb, got_cb)
+
+
+def test_generate_embeddings_from_ckpt_file(hf_esm, tmp_path):
+    """generate_embeddings(esm_ckpt=...) produces caches equal to a direct
+    forward with the converted weights — one command from weights on disk
+    to real caches."""
+    from druglamp_tpu.data.cache import EmbeddingCache
+    from druglamp_tpu.data.dataset import EntityTable, featurize_drug, featurize_prot
+    from druglamp_tpu.encoders import embed_pipeline
+    import druglamp_tpu.encoders.esm2 as esm2_mod
+
+    ckpt = str(tmp_path / "esm.pt")
+    torch.save(hf_esm.state_dict(), ckpt)
+
+    table = EntityTable()
+    smi = "CCO"
+    table.drug2ord[smi] = 0
+    table.drugs[0] = featurize_drug(smi, 0, 64)
+    seq = "MKTAYIAK"
+    table.prot2ord[seq] = 0
+    table.prots[0] = featurize_prot(seq, 0, 1022, 288)
+
+    cache = EmbeddingCache(str(tmp_path / "cache"), "toy",
+                           n_drug_feature=32, n_prot_feature=64)
+    cfg_small = {12: esm2_mod.ESM2Config(num_layers=2, embed_dim=64,
+                                         num_heads=4, ffn_dim=256)}
+    orig_sizes, orig_buckets = esm2_mod._ESM2_SIZES, embed_pipeline._BUCKETS
+    try:
+        esm2_mod._ESM2_SIZES = {**orig_sizes, **cfg_small}
+        embed_pipeline._BUCKETS = (16,)
+        embed_pipeline.generate_embeddings(
+            table, cache, n_layer=12, esm_ckpt=ckpt,
+            chemberta_cfg=ChemBERTaConfig(vocab=64, hidden=32, num_layers=1,
+                                          num_heads=4, intermediate=32,
+                                          max_positions=64),
+            batch=2, verbose=False)
+    finally:
+        esm2_mod._ESM2_SIZES = orig_sizes
+        embed_pipeline._BUCKETS = orig_buckets
+
+    params = esm2_params_from_torch(hf_esm.state_dict(), num_layers=2)
+    model = ESM2(ESM2Config(num_layers=2, embed_dim=64, num_heads=4, ffn_dim=256))
+    toks = esm_tokenize(seq, 1022)[None, :]
+    pad = np.full((1, 16), ESM_PAD, np.int32)
+    pad[0, :toks.shape[1]] = toks
+    direct = np.asarray(model.apply({"params": params}, jnp.asarray(pad)))
+    np.testing.assert_allclose(cache.prot(0), direct[0, :len(seq) + 2],
+                               rtol=1e-5, atol=1e-6)

@@ -161,3 +161,33 @@ def test_featurization_frozen_golden_hashes():
         enc = repeat_integer_label_protein(rows[i]["Protein"], 1022)
         got = hashlib.md5(np.asarray(enc, np.int32).tobytes()).hexdigest()
         assert got == h, i
+
+
+def test_oversized_molecule_unified_truncation_policy():
+    """Both featurization entry points share one oversized-molecule policy:
+    truncate to max_nodes with a RuntimeWarning (never raise, never silent)."""
+    import warnings
+
+    import numpy as np
+
+    from druglamp_tpu.chem.featurize import drug_graph_arrays
+    from druglamp_tpu.data.dataset import featurize_drug
+
+    smi = "C" * 12  # linear 12-carbon chain, 12 atoms > max_nodes=8
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        g = drug_graph_arrays(smi, max_nodes=8)
+    assert any("truncating" in str(x.message) for x in w)
+    assert g["node_feats"].shape[0] == 8
+    assert int(g["n_atoms"]) == 8
+    # truncated rows carry no virtual-node bit leakage into real ones
+    assert g["node_feats"][:8, -1].sum() == 0
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rec = featurize_drug(smi, 0, 8)
+    assert any("truncating" in str(x.message) for x in w)
+    assert rec.n_atoms == 8
+    assert rec.node_feats.shape[0] == 8
+    assert np.all(rec.edges < 8)

@@ -87,6 +87,28 @@ def main():
     time_component("PMMA fwd       ", lambda v, b: model.apply(
         v, b, method=pmma_only))
 
+    # The production path decodes a COMPACT batch inside the step (bit-packed
+    # adjacency → dense Â) every step of the scan; time decode and
+    # decode+GCN to expose the unpack/normalize overhead the dense-batch GCN
+    # timing above misses (VERDICT r2 #10).
+    from druglamp_tpu.data.encoding import compact_batch, decode_batch
+
+    n_atoms = np.asarray(jnp.sum(batch["d_fill"] == 0, axis=1), np.int32)
+    cbatch = jax.tree.map(jnp.asarray, compact_batch(
+        jax.tree.map(np.asarray, batch), n_atoms))
+
+    t_dec = timeit(jax.jit(lambda b: decode_batch(b)["drug_adj"]), cbatch)
+    print(f"decode (unpack)  : {t_dec:.2f} ms")
+
+    def decode_gcn(v, b):
+        d = decode_batch(b)
+        return model.apply(v, d["drug_node_feats"], d["drug_adj"],
+                           d["drug_degrees"], False,
+                           method=lambda m, *a: m.drug_extractor(*a))
+
+    t_dgcn = timeit(jax.jit(decode_gcn), variables, cbatch)
+    print(f"decode+GCN fwd   : {t_dgcn:.2f} ms")
+
 
 if __name__ == "__main__":
     main()
