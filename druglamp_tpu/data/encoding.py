@@ -25,6 +25,30 @@ from typing import Any, Dict
 
 import numpy as np
 
+# Packed-adjacency layout: GROUP-64.  For N columns stored in N/8 bytes per
+# row, byte c (c < 64·(N/512)… i.e. c < N/8) holds bit g for column
+# j = g·64·(N/512)→ concretely  j = g*(N//8) + c,  g ∈ [0,8).
+# Chosen over np.packbits' byte-major order because the Pallas GCN kernel
+# can then unpack a row tile with strictly 2-D lane ops — concatenate eight
+# copies along lanes and shift by (lane // (N//8)) — with no cross-lane
+# reshapes, which Mosaic cannot lower for int8.
+
+
+def pack_adjacency(binary: np.ndarray) -> np.ndarray:
+    """(…, N) {0,1} → (…, N/8) uint8 in the group-64 layout."""
+    *lead, N = binary.shape
+    bb = binary.reshape(*lead, 8, N // 8).astype(np.uint8)
+    shifts = np.arange(8, dtype=np.uint8).reshape(8, 1)
+    return np.bitwise_or.reduce(bb << shifts, axis=-2)
+
+
+def unpack_adjacency_np(packed: np.ndarray) -> np.ndarray:
+    """Inverse of pack_adjacency (host-side)."""
+    *lead, nb = packed.shape
+    shifts = np.arange(8, dtype=np.uint8).reshape(8, 1)
+    bits = (packed[..., None, :] >> shifts) & np.uint8(1)
+    return bits.reshape(*lead, 8 * nb)
+
 
 def compact_batch(batch: Dict[str, Any], n_atoms: np.ndarray) -> Dict[str, Any]:
     """Host-side: convert an assembled float batch to the compact form.
@@ -36,7 +60,7 @@ def compact_batch(batch: Dict[str, Any], n_atoms: np.ndarray) -> Dict[str, Any]:
     out = dict(batch)
     adj = batch["drug_adj"]
     binary = (adj > 0).astype(np.uint8)
-    out["drug_adj_packed"] = np.packbits(binary, axis=-1)
+    out["drug_adj_packed"] = pack_adjacency(binary)
     out["n_atoms"] = n_atoms.astype(np.int32)
     del out["drug_adj"]
     del out["drug_degrees"]
@@ -132,14 +156,21 @@ def _unflatten(flat: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def decode_batch(batch: Dict[str, Any], store=None) -> Dict[str, Any]:
+def decode_batch(batch: Dict[str, Any], store=None,
+                 keep_packed: bool = None) -> Dict[str, Any]:
     """Device-side (jit-traceable): expand a compact batch; pass-through if
     the batch is already in standard form.
 
     ``store``: optional DeviceEmbeddingStore.tree — when the batch carries
     entity ordinals (loader emb_ordinals mode), the frozen LLM embeddings are
     gathered from the device-resident arrays here instead of being shipped
-    from host (data/device_store.py)."""
+    from host (data/device_store.py).
+
+    ``keep_packed`` (default: auto — true when the Pallas backend is active):
+    leave the adjacency bit-packed and emit ``drug_adj`` as
+    ``{"packed", "real"}`` for the fused GCN kernel
+    (kernels/gcn_pallas.py) instead of materializing the dense (B,N,N)
+    matrix every step; degrees come from a popcount."""
     if "drug_adj_packed" not in batch:
         return batch
     import jax.numpy as jnp
@@ -156,16 +187,27 @@ def decode_batch(batch: Dict[str, Any], store=None) -> Dict[str, Any]:
         batch = out
     packed = batch["drug_adj_packed"]
     B, N, _ = packed.shape
-    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-    bits = (packed[..., None] >> shifts) & jnp.uint8(1)       # (B,N,N/8,8)
-    adj = bits.reshape(B, N, -1)                               # (B,N,N) {0,1}
     n_atoms = batch["n_atoms"]
     idx = jnp.arange(N)
     real = (idx[None, :] < n_atoms[:, None])                   # (B,N)
-    eye = jnp.eye(N, dtype=adj.dtype)
-    adj = adj + eye[None] * real[:, :, None].astype(adj.dtype)  # diag 2 on real
-    out["drug_adj"] = adj
-    out["drug_degrees"] = adj.sum(axis=2).astype(jnp.float32)
+    if keep_packed is None:
+        from druglamp_tpu.kernels.gcn_pallas import use_packed_gcn
+
+        keep_packed = use_packed_gcn()
+    if keep_packed:
+        from druglamp_tpu.kernels.gcn_pallas import packed_degrees
+
+        realf = real.astype(jnp.float32)
+        out["drug_adj"] = {"packed": packed, "real": realf}
+        out["drug_degrees"] = packed_degrees(packed, realf)
+    else:
+        shifts = jnp.arange(8, dtype=jnp.uint8)[:, None]       # group-64
+        bits = (packed[:, :, None, :] >> shifts) & jnp.uint8(1)  # (B,N,8,N/8)
+        adj = bits.reshape(B, N, -1)                           # (B,N,N) {0,1}
+        eye = jnp.eye(N, dtype=adj.dtype)
+        adj = adj + eye[None] * real[:, :, None].astype(adj.dtype)  # diag 2 real
+        out["drug_adj"] = adj
+        out["drug_degrees"] = adj.sum(axis=2).astype(jnp.float32)
     out["drug_node_feats"] = batch["drug_node_feats"].astype(jnp.float32)
     out["vp"] = batch["vp"].astype(jnp.int32)
     L = out["vp"].shape[1]

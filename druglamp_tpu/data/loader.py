@@ -146,9 +146,9 @@ class BatchLoader:
             return self._assemble_compact(idx)
         return self._assemble_dense(idx)
 
-    # packbits bit order: column c → byte c>>3, bit 7-(c&7) (big-endian),
-    # matching encoding.decode_batch's shift table
-    _BIT_LUT = np.uint8(1) << np.arange(7, -1, -1, dtype=np.uint8)
+    # group-64 packed layout (encoding.pack_adjacency): column c → byte
+    # c mod (N/8), bit c div (N/8) — matching encoding.decode_batch and the
+    # Pallas GCN kernel's lane-friendly unpack
 
     def _assemble_compact(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         """Build the compact batch DIRECTLY (no dense adjacency/masks):
@@ -167,9 +167,10 @@ class BatchLoader:
         L = ds.seq_len
         nd = self.emb.n_drug_feature
 
-        eye = np.zeros((N, N // 8), np.uint8)
+        nb = N // 8
+        eye = np.zeros((N, nb), np.uint8)
         cols = np.arange(N)
-        eye[cols, cols >> 3] = self._BIT_LUT[cols & 7]
+        eye[cols, cols % nb] = np.uint8(1) << (cols // nb).astype(np.uint8)
 
         batch = {
             "drug_node_feats": np.zeros((B, N, 75), np.int8),
@@ -204,7 +205,8 @@ class BatchLoader:
             batch["drug_node_feats"][b, n:, 74] = 1
             e0, e1 = drec.edges
             np.bitwise_or.at(batch["drug_adj_packed"][b],
-                             (e0, e1 >> 3), self._BIT_LUT[e1 & 7])
+                             (e0, e1 % nb),
+                             np.uint8(1) << (e1 // nb).astype(np.uint8))
             batch["n_atoms"][b] = n
             batch["vp"][b] = prec.codes
             batch["p_fill_start"][b] = prec.fill_start

@@ -48,13 +48,22 @@ class GCNLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, adj_norm, train: bool = False):
-        # x: (B, N, C); adj_norm: (B, N, N) pre-normalized Â
+        # x: (B, N, C); adj_norm: (B, N, N) pre-normalized Â, or the packed
+        # form {"packed", "nrm", "n2r"} for the fused Pallas kernel
+        # (kernels/gcn_pallas.py) — Â then never materializes in HBM.
         cdtype = self.dtype or x.dtype
-        agg = jax.lax.dot_general(
-            adj_norm.astype(cdtype), x.astype(cdtype),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        if isinstance(adj_norm, dict):
+            from druglamp_tpu.kernels.gcn_pallas import gcn_packed_matmul
+
+            agg = gcn_packed_matmul(adj_norm["packed"], adj_norm["nrm"],
+                                    adj_norm["n2r"], x.astype(cdtype)
+                                    ).astype(jnp.float32)
+        else:
+            agg = jax.lax.dot_general(
+                adj_norm.astype(cdtype), x.astype(cdtype),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
         w = self.param("graph_kernel", inits.xavier_uniform, (x.shape[-1], self.out_feats))
         b = self.param("graph_bias", inits.zeros, (self.out_feats,))
         h = jnp.dot(agg.astype(cdtype), w.astype(cdtype),
@@ -80,15 +89,23 @@ class MolecularGCN(nn.Module):
 
     @nn.compact
     def __call__(self, node_feats, adj, degrees, train: bool = False):
-        """node_feats (B,N,75) f32, adj (B,N,N) uint8, degrees (B,N) f32 → (B,N,128)."""
+        """node_feats (B,N,75) f32, adj (B,N,N) uint8 — or, on the packed
+        path, {"packed" (B,N,N/8) u8, "real" (B,N) f32} — degrees (B,N) f32
+        → (B,N,128)."""
         kernel_init = _init_transform_kernel if self.padding else inits.torch_linear_kernel
         w0 = self.param("init_transform", kernel_init, (self.in_feats, self.dim_embedding))
         x = jnp.dot(node_feats, w0)
 
-        # Â = n nᵀ ⊙ A with n = deg^(-1/2); built once, shared by all layers.
+        # n = deg^(-1/2); shared by all layers.
         n = jax.lax.rsqrt(jnp.maximum(degrees, 1.0))
-        adj_norm = (n[:, :, None] * adj.astype(jnp.float32)) * n[:, None, :]
-        adj_norm = adj_norm.astype(self.dtype or x.dtype)
+        if isinstance(adj, dict):
+            # fused Pallas path: Â never materializes (kernels/gcn_pallas.py)
+            adj_norm = {"packed": adj["packed"], "nrm": n,
+                        "n2r": n * n * adj["real"]}
+        else:
+            # Â = n nᵀ ⊙ A; built once, shared by all layers.
+            adj_norm = (n[:, :, None] * adj.astype(jnp.float32)) * n[:, None, :]
+            adj_norm = adj_norm.astype(self.dtype or x.dtype)
 
         for i, feats in enumerate(self.hidden_feats):
             x = GCNLayer(feats, dtype=self.dtype, bn_groups=self.bn_groups,

@@ -28,8 +28,16 @@ BENCH_TIERS = [
     ("DrugLAMP2C2P", True, True),
 ]
 
+# fast tier keeps the SSL+CM construction (the r2 ship-broken class); the
+# cheaper gate combos run in the slow tier (they share the same factory)
+_TIER_PARAMS = [
+    pytest.param(*BENCH_TIERS[0], marks=pytest.mark.slow),
+    pytest.param(*BENCH_TIERS[1], marks=pytest.mark.slow),
+    pytest.param(*BENCH_TIERS[2]),
+]
 
-@pytest.mark.parametrize("model_name,use_ssl,use_cm", BENCH_TIERS)
+
+@pytest.mark.parametrize("model_name,use_ssl,use_cm", _TIER_PARAMS)
 def test_bench_tier_constructs_and_steps(model_name, use_ssl, use_cm):
     cfg = tiny_config()
     step, state, batch, args = bench.make_tier(

@@ -22,6 +22,8 @@ import numpy as np
 import pytest
 import torch
 
+pytestmark = pytest.mark.slow  # heavy torch-mirror suite (module fixture ~1 min)
+
 import druglamp_tpu.models.ssl as ssl_module
 from druglamp_tpu.config import SolverConfig
 from druglamp_tpu.data.loader import build_cm_arrays
@@ -237,3 +239,51 @@ def test_legacy_aliased_trajectory_parity(setup, monkeypatch):
         np.testing.assert_allclose(
             pj[k], p.detach().numpy(), atol=2e-2,
             err_msg=f"trajectory param divergence at {k}")
+
+
+def test_trajectory_tolerance_rejects_wrong_aliasing(setup, monkeypatch):
+    """Negative control for the 2e-2 trajectory gate: the most likely
+    porting error — torch-2.x zero_grad semantics, where the three backwards
+    ACCUMULATE and every optimizer applies g_cls+g_ssl+g_cm instead of the
+    last loss's gradients (torch-1.12 zero_grad(set_to_none=False) wipes) —
+    must diverge PAST the tolerance within the same 12 steps.  This pins the
+    margin between fp32 sign-flip noise (test above) and a real aliasing
+    bug: the gate provably separates them."""
+    from tests.torch_mirror import wrong_accumulating_train_step
+
+    cfg, model, variables, batch_np, batch_j, mirror_unused, batch_t = setup
+    monkeypatch.setattr(ssl_module, "mlm_mask", det_mlm_mask_jax)
+
+    from druglamp_tpu.train.state import TrainState
+    from druglamp_tpu.train.steps import make_train_step
+
+    state = TrainState.create(variables, use_ssl=True, use_cm=True)
+    step = make_train_step(model, use_ssl=True, use_cm=True,
+                           grad_mode="legacy_aliased")
+
+    wrong = TorchDrugLAMP2C2P(
+        jax.tree.map(np.asarray, variables["params"]), cfg, ND, NP)
+    lr, lr_ssl, lr_cm = 1e-3, 3e-4, 1e-4
+    mk = lambda l: torch.optim.AdamW(wrong.parameters(), lr=l,
+                                     betas=(0.9, 0.999), eps=1e-8,
+                                     weight_decay=0.01)
+    opt, opt_ssl, opt_cm = mk(lr), mk(lr_ssl), mk(lr_cm)
+
+    for i in range(12):
+        out = step(state, batch_j, jax.random.key(10 + i), jnp.float32(lr),
+                   jnp.float32(lr_ssl), jnp.float32(lr_cm), jnp.float32(0.5),
+                   jnp.float32(1.0))
+        state = out.state
+        wrong_accumulating_train_step(
+            wrong, opt, opt_ssl, opt_cm, batch_t, det_mask_np,
+            PROT_IDS, DRUG_IDS, 0.5, 1.0)
+
+    from flax import traverse_util
+    pj = {"/".join(k): np.asarray(v) for k, v in
+          traverse_util.flatten_dict(state.params).items()}
+    worst = max(np.abs(pj[k] - p.detach().numpy()).max()
+                for k, p in wrong.p.items())
+    assert worst > 2e-2, (
+        f"wrong-aliasing trajectory stayed within the parity tolerance "
+        f"(max divergence {worst:.2e}) — the gate would not catch a real "
+        f"aliasing bug; tighten it")

@@ -39,6 +39,7 @@ def _run_step(model, state, batch, use_ssl, use_cm):
                 jnp.float32(1.0))
 
 
+@pytest.mark.slow
 def test_dp8_executes_and_shards():
     assert jax.device_count() >= 8
     model, batch, state = _setup()
@@ -54,6 +55,7 @@ def test_dp8_executes_and_shards():
     assert 8 in shard_counts
 
 
+@pytest.mark.slow
 def test_dp8_matches_single_device():
     """Sharded and unsharded steps agree up to fp reduction-order noise.
 
@@ -226,6 +228,7 @@ class TestPerReplicaBN:
         np.testing.assert_allclose(np.asarray(ye1), np.asarray(ye2),
                                    rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_full_model_per_replica_bn_dp8(self):
         """Whole-model train step with bn_groups=8 on the DP8 mesh runs and
         produces batch_stats different from global-batch mode."""
@@ -366,6 +369,7 @@ def test_per_replica_cm_matches_independent_halves():
     assert float(loss_g) == pytest.approx(np.mean(losses), rel=1e-5)
 
 
+@pytest.mark.slow
 def test_per_replica_full_dp8_runs_with_cm_groups():
     """Whole 2C2P step with bn_groups=8 + per-replica CM arrays on the DP8
     mesh: executes with finite losses."""

@@ -207,6 +207,7 @@ def test_resume_continues_training(tmp_path):
     assert "auroc" in metrics
 
 
+@pytest.mark.slow
 def test_per_loss_grads_match_independent_grads():
     """The shared-vjp per-loss gradients equal separately computed grads."""
     cfg = _tiny_training_cfg(ssl=True)
@@ -297,6 +298,7 @@ def test_train_step_on_compact_llm_batch(tmp_path):
     assert np.isfinite(float(out.cm_loss))
 
 
+@pytest.mark.slow
 def test_scan_epoch_matches_loop():
     """The epoch-in-scan driver reproduces the per-step loop trajectory:
     identical rng chain and CM-weight threading.  Step 0 matches exactly;
@@ -353,6 +355,7 @@ def test_scan_epoch_matches_loop():
     assert float(out2.cm_weight) == pytest.approx(float(w), rel=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_scan_mode_end_to_end(tmp_path):
     """Trainer.fit with scan_chunk>1 (incl. a ragged tail chunk) trains,
     checkpoints, and evaluates like loop mode."""
@@ -395,6 +398,7 @@ def test_evaluate_scan_matches_loop(tmp_path):
         assert m_scan[k] == pytest.approx(m_loop[k], abs=1e-6), k
 
 
+@pytest.mark.slow
 def test_trainer_with_device_store(tmp_path):
     """End-to-end fit with the device-resident embedding store ("_store"
     threading through the epoch/eval scans) matches the host-shipped path's

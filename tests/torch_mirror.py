@@ -374,3 +374,26 @@ def reference_train_step(mirror, opt, opt_ssl, opt_cm, batch, mlm_fn,
         opt_cm.step()
     return cls_loss.item(), (ssl_loss.item() if use_ssl else 0.0), \
         (cm_loss.item() if use_cm else 0.0)
+
+
+def wrong_accumulating_train_step(mirror, opt, opt_ssl, opt_cm, batch, mlm_fn,
+                                  prot_ids, drug_ids, margin, cm_weight):
+    """A plausible-but-WRONG port of trainer.py:179-231: keeps torch-2.x
+    zero_grad defaults (grads ACCUMULATE across the three backwards instead
+    of being wiped by each torch-1.12 zero_grad(set_to_none=False)), so the
+    optimizers apply g_cls+g_ssl+g_cm rather than the last loss's gradients.
+    Used only as a negative control: the trajectory-parity tolerance must
+    reject this (tests/test_full_model_parity.py)."""
+    out = mirror(batch)
+    _, cls_loss = bce(out["score"], batch["labels"])
+    opt.zero_grad(set_to_none=False)
+    cls_loss.backward(retain_graph=True)
+    ssl_loss = mirror.ssl_loss(batch, out, mlm_fn)
+    ssl_loss.backward(retain_graph=True)
+    cm_loss = mirror.cm_loss(out, prot_ids, drug_ids,
+                             batch["labels"].numpy(), margin) * cm_weight
+    cm_loss.backward()
+    opt.step()
+    opt_ssl.step()
+    opt_cm.step()
+    return cls_loss.item(), ssl_loss.item(), cm_loss.item()
