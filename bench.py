@@ -3,7 +3,13 @@
 Runs the flagship models at the reference training recipe's shapes
 (batch 16, 512-node drug graphs, 2304-residue tiled proteins — BASELINE.md)
 and measures steady-state jitted train-step throughput on the available
-accelerator, in four tiers:
+accelerator, in four tiers.  Step tiers are measured with
+train.steps.make_repeat_step — SCAN_ITERS steps per dispatch — so the
+numbers are device-bound: on this container's tunneled TPU a per-step
+dispatch loop measures host dispatch latency (~100–150 ms/call vs ~4 ms
+device compute) and collapses under concurrent host load.  The old
+per-step-dispatch loop is still reported once (cls tier) as
+``per_dispatch_pairs_per_sec`` to quantify that host overhead.
 
   value (headline)        DrugLAMP cls-only step — BCE loss, one vjp, one AdamW
   ssl_step_pairs_per_sec  DrugLAMP SSL epoch-gate step (the flagship recipe's
@@ -51,6 +57,8 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 BATCH = 16
 WARMUP = 3
 ITERS = 50
+SCAN_ITERS = int(os.environ.get("DRUGLAMP_BENCH_SCAN_ITERS", "128"))
+SCAN_REPS = 2
 DATA_ROOT = os.environ.get("DRUGLAMP_DATA_ROOT", "/root/reference/datasets")
 E2E_ROWS = int(os.environ.get("DRUGLAMP_BENCH_E2E_ROWS", "1024"))
 CACHE_ROOT = os.environ.get(
@@ -60,7 +68,7 @@ CACHE_ROOT = os.environ.get(
 def make_tier(model_name: str, use_ssl: bool, use_cm: bool, cfg=None,
               batch_size: int = BATCH, n_drug_feature: int = 384,
               n_prot_feature: int = 640):
-    """Build (step_fn, state, batch, args) for one train-step tier.
+    """Build (step_fn, state, batch, args, model) for one train-step tier.
 
     Kept as a standalone factory so the test suite can construct every tier
     on a tiny config (tests/test_bench_smoke.py) — a tier that only a
@@ -94,7 +102,7 @@ def make_tier(model_name: str, use_ssl: bool, use_cm: bool, cfg=None,
     step = make_train_step(model, use_ssl=use_ssl, use_cm=use_cm)
     args = (jnp.float32(1e-4), jnp.float32(3e-5), jnp.float32(1e-5),
             jnp.float32(0.5), jnp.float32(1.0))
-    return step, state, batch, args
+    return step, state, batch, args, model
 
 
 def _measure_step(step, state, batch, args, rng, iters: int = ITERS,
@@ -114,6 +122,30 @@ def _measure_step(step, state, batch, args, rng, iters: int = ITERS,
         state = step(state, batch, k, *args).state
     jax.block_until_ready(state.params)
     return batch_size * iters / (time.perf_counter() - t0)
+
+
+def _measure_step_scanned(model, use_ssl, use_cm, state, batch, args, rng,
+                          iters: int = SCAN_ITERS, reps: int = SCAN_REPS,
+                          batch_size: int = BATCH):
+    """Device-bound throughput: SCAN_ITERS steps per dispatch
+    (train.steps.make_repeat_step), timed over `reps` dispatches after one
+    warm/compile dispatch."""
+    import jax
+
+    from druglamp_tpu.train.steps import make_repeat_step
+
+    repeat = make_repeat_step(model, use_ssl=use_ssl, use_cm=use_cm,
+                              iters=iters)
+    rng, k = jax.random.split(rng)
+    state, _ = repeat(state, batch, k, *args)        # warm: compiles
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        rng, k = jax.random.split(rng)
+        state, _ = repeat(state, batch, k, *args)
+    jax.block_until_ready(state.params)
+    return batch_size * iters * reps / (time.perf_counter() - t0)
 
 
 def _e2e_embeddings(cfg, table):
@@ -217,17 +249,23 @@ def main() -> None:
 
     cfg = Config()
 
-    step, state, batch, args = make_tier("DrugLAMP", use_ssl=False,
+    step, state, batch, args, model = make_tier("DrugLAMP", use_ssl=False,
+                                                use_cm=False, cfg=cfg)
+    dispatch_pps = _measure_step(step, state, batch, args, jax.random.key(3))
+    _, state, batch, args, _ = make_tier("DrugLAMP", use_ssl=False,
                                          use_cm=False, cfg=cfg)
-    cls_pps = _measure_step(step, state, batch, args, jax.random.key(3))
+    cls_pps = _measure_step_scanned(model, False, False, state, batch, args,
+                                    jax.random.key(5))
 
-    step, state, batch, args = make_tier("DrugLAMP", use_ssl=True,
-                                         use_cm=False, cfg=cfg)
-    ssl_pps = _measure_step(step, state, batch, args, jax.random.key(3))
+    _, state, batch, args, model = make_tier("DrugLAMP", use_ssl=True,
+                                             use_cm=False, cfg=cfg)
+    ssl_pps = _measure_step_scanned(model, True, False, state, batch, args,
+                                    jax.random.key(5))
 
-    step, state, batch, args = make_tier("DrugLAMP2C2P", use_ssl=True,
-                                         use_cm=True, cfg=cfg)
-    full_pps = _measure_step(step, state, batch, args, jax.random.key(3))
+    _, state, batch, args, model = make_tier("DrugLAMP2C2P", use_ssl=True,
+                                             use_cm=True, cfg=cfg)
+    full_pps = _measure_step_scanned(model, True, True, state, batch, args,
+                                     jax.random.key(5))
 
     try:
         e2e_pps, e2e_input = _measure_epoch_e2e(cfg)
@@ -247,6 +285,8 @@ def main() -> None:
         "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 3),
         "ssl_step_pairs_per_sec": round(ssl_pps, 2),
         "full_step_pairs_per_sec": round(full_pps, 2),
+        "per_dispatch_pairs_per_sec": round(dispatch_pps, 2),
+        "scan_iters": SCAN_ITERS,
         "epoch_e2e_pairs_per_sec": round(e2e_pps, 2) if e2e_pps else None,
         "epoch_e2e_input": e2e_input,
         "baseline_derivation": "BASELINE.md#a100-baseline-derivation",

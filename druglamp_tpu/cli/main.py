@@ -364,7 +364,8 @@ def _eval_only(args, cfg, test_ds, work_dir, n_drug_feature, n_prot_feature) -> 
     if not os.path.exists(args.ckpt):
         print(f"error: checkpoint {args.ckpt!r} not found", file=sys.stderr)
         return 2
-    state = trainer.restore(args.ckpt, state, load_host=False)
+    # orbax/tensorstore requires an absolute checkpoint path
+    state = trainer.restore(os.path.abspath(args.ckpt), state, load_host=False)
     metrics = trainer.evaluate(state, test_loader, full=True)
     print({f"test_{k}": round(v, 5) for k, v in metrics.items()})
     return 0

@@ -197,6 +197,41 @@ def make_epoch_step(model, use_ssl: bool, use_cm: bool, calibrate: bool = False,
     return epoch_step
 
 
+def make_repeat_step(model, use_ssl: bool, use_cm: bool, iters: int,
+                     calibrate: bool = False, grad_mode: str = "per_loss",
+                     n_class: int = 1) -> Callable:
+    """ONE dispatch runs ``iters`` train steps on the SAME batch (lax.scan).
+
+    Measurement utility (bench.py): on tunneled/remote TPU hosts the
+    per-dispatch cost (~100–150 ms observed) dwarfs device step compute
+    (~4 ms), so a per-step dispatch loop measures the host, not the chip —
+    and collapses ~3× under concurrent host load.  Scanning ``iters`` steps
+    into one program makes the throughput number device-bound and
+    load-insensitive.  Unlike make_epoch_step this reuses one batch, so HBM
+    holds a single copy regardless of ``iters``; rng is split per step so
+    dropout/masking still vary.  Returns (new_state, per-step cls losses)."""
+    body = _make_step_body(model, use_ssl, use_cm, calibrate, grad_mode, n_class)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def repeat_step(state: TrainState, batch: Dict[str, Any], rng,
+                    lr_cls, lr_ssl, lr_cm, margin, cm_weight):
+        batch_l = dict(batch)
+        store = batch_l.pop("_store", None)
+
+        def scan_body(carry, _):
+            state, w, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            b = {**batch_l, "_store": store} if store is not None else batch_l
+            out = body(state, b, step_rng, lr_cls, lr_ssl, lr_cm, margin, w)
+            return (out.state, out.cm_weight, rng), out.cls_loss
+
+        (state, _, _), cls_l = jax.lax.scan(
+            scan_body, (state, cm_weight, rng), None, length=iters)
+        return state, cls_l
+
+    return repeat_step
+
+
 def make_eval_scan(model, n_class: int = 1) -> Callable:
     """Jitted eval over a step-stacked batch: ONE dispatch scores S batches
     via lax.scan (same dispatch-amortization as make_epoch_step; eval

@@ -380,11 +380,13 @@ class Trainer:
                             "best_ausum": float(self.best_ausum),
                             "best_epoch": self.best_epoch,
                             "margin": self.margin_sched.state_dict()}}
-        self.ckpt.save(path, {"state": jax.tree.map(np.asarray, _as_dict(state)),
-                              "host": payload["host"]}, force=True)
+        self.ckpt.save(os.path.abspath(path),
+                       {"state": jax.tree.map(np.asarray, _as_dict(state)),
+                        "host": payload["host"]}, force=True)
 
     def restore(self, path: str, like: TrainState,
                 load_host: bool = True) -> TrainState:
+        path = os.path.abspath(path)  # orbax/tensorstore rejects relative paths
         if not os.path.exists(path):
             return like
         restored = self.ckpt.restore(path)

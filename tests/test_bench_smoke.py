@@ -40,7 +40,7 @@ _TIER_PARAMS = [
 @pytest.mark.parametrize("model_name,use_ssl,use_cm", _TIER_PARAMS)
 def test_bench_tier_constructs_and_steps(model_name, use_ssl, use_cm):
     cfg = tiny_config()
-    step, state, batch, args = bench.make_tier(
+    step, state, batch, args, model = bench.make_tier(
         model_name, use_ssl=use_ssl, use_cm=use_cm, cfg=cfg,
         batch_size=4, n_drug_feature=24, n_prot_feature=40)
     out = step(state, batch, jax.random.key(0), *args)
@@ -50,16 +50,28 @@ def test_bench_tier_constructs_and_steps(model_name, use_ssl, use_cm):
     if use_cm:
         assert np.isfinite(float(out.cm_loss))
 
+    # the scanned measurement path bench.main() actually times (2 steps/scan)
+    _, state, batch, args, model = bench.make_tier(
+        model_name, use_ssl=use_ssl, use_cm=use_cm, cfg=cfg,
+        batch_size=4, n_drug_feature=24, n_prot_feature=40)
+    pps = bench._measure_step_scanned(model, use_ssl, use_cm, state, batch,
+                                      args, jax.random.key(1), iters=2,
+                                      reps=1, batch_size=4)
+    assert pps > 0
+
 
 def test_bench_main_tier_list_matches_source():
-    """bench.main() must only build tiers this suite exercises."""
+    """bench.main() must only build tiers this suite exercises (the cls tier
+    is constructed twice — once for the per-dispatch diagnostic, once for
+    the scanned headline — so dedupe consecutive repeats)."""
     import inspect
 
     src = inspect.getsource(bench.main)
     calls = [l.strip() for l in src.splitlines() if "make_tier(" in l]
-    assert len(calls) == len(BENCH_TIERS)
-    for (model_name, _, _), line in zip(BENCH_TIERS, calls):
-        assert f'"{model_name}"' in line, (line, model_name)
+    models = [c.split('"')[1] for c in calls]
+    expect = [BENCH_TIERS[0][0], BENCH_TIERS[0][0],   # per-dispatch + scanned
+              BENCH_TIERS[1][0], BENCH_TIERS[2][0]]
+    assert models == expect, (models, expect)
 
 
 def test_bench_e2e_embedding_resolution(tmp_path, monkeypatch):
@@ -92,8 +104,8 @@ def test_graft_entry_forward():
 @pytest.mark.slow
 def test_bench_measure_step_full_shapes():
     """One warmup+measure iteration of the headline tier at real shapes."""
-    step, state, batch, args = bench.make_tier("DrugLAMP", use_ssl=False,
-                                               use_cm=False)
+    step, state, batch, args, _ = bench.make_tier("DrugLAMP", use_ssl=False,
+                                                  use_cm=False)
     pps = bench._measure_step(step, state, batch, args, jax.random.key(0),
                               iters=1, warmup=1)
     assert pps > 0
