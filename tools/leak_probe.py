@@ -37,6 +37,10 @@ def main() -> None:
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--no-ckpt", action="store_true")
     p.add_argument("--tracemalloc", action="store_true")
+    p.add_argument("--trim", action="store_true",
+                   help="call glibc malloc_trim(0) each epoch — if RSS stops "
+                        "growing, the 'leak' is allocator free-list retention, "
+                        "not live references")
     p.add_argument("--data-root", default="/root/reference/datasets")
     args = p.parse_args()
 
@@ -99,6 +103,10 @@ def main() -> None:
             trainer.evaluate(state, val_loader, full=False)
         if not args.no_ckpt:
             trainer._save(os.path.join(work, "ckpt_last"), state)
+        if args.trim:
+            import ctypes
+
+            ctypes.CDLL("libc.so.6").malloc_trim(0)
         line = f"[probe] epoch {epoch} rss={rss_gb():.2f} GB"
         if args.tracemalloc:
             import tracemalloc
