@@ -58,7 +58,7 @@ BATCH = 16
 WARMUP = 3
 ITERS = 50
 SCAN_ITERS = int(os.environ.get("DRUGLAMP_BENCH_SCAN_ITERS", "128"))
-SCAN_REPS = 2
+SCAN_REPS = 4   # D2H sync latency (~100-150 ms tunneled) amortizes over reps
 DATA_ROOT = os.environ.get("DRUGLAMP_DATA_ROOT", "/root/reference/datasets")
 E2E_ROWS = int(os.environ.get("DRUGLAMP_BENCH_E2E_ROWS", "1024"))
 CACHE_ROOT = os.environ.get(
@@ -129,23 +129,38 @@ def _measure_step_scanned(model, use_ssl, use_cm, state, batch, args, rng,
                           batch_size: int = BATCH):
     """Device-bound throughput: SCAN_ITERS steps per dispatch
     (train.steps.make_repeat_step), timed over `reps` dispatches after one
-    warm/compile dispatch."""
+    warm/compile dispatch.
+
+    Synchronization is by MATERIALIZING a scalar that is data-dependent on
+    the final step, not by ``jax.block_until_ready``: through the tunneled
+    axon runtime, block_until_ready on an unfetched remote output can return
+    before remote execution finishes (observed: a 128-step scan "completing"
+    in 4.6 ms — 72 µs/step, beyond the chip's peak-FLOP bound), silently
+    timing only dispatch enqueue.  A real D2H fetch both forces completion
+    and surfaces deferred execution errors; finiteness is asserted so a
+    poisoned/failed run can't report a throughput."""
+    import math
+
     import jax
+    import numpy as np
 
     from druglamp_tpu.train.steps import make_repeat_step
 
     repeat = make_repeat_step(model, use_ssl=use_ssl, use_cm=use_cm,
                               iters=iters)
     rng, k = jax.random.split(rng)
-    state, _ = repeat(state, batch, k, *args)        # warm: compiles
-    jax.block_until_ready(state.params)
+    state, cls_l = repeat(state, batch, k, *args)    # warm: compiles
+    float(np.asarray(cls_l)[-1])                     # sync via D2H
 
     t0 = time.perf_counter()
     for _ in range(reps):
         rng, k = jax.random.split(rng)
-        state, _ = repeat(state, batch, k, *args)
-    jax.block_until_ready(state.params)
-    return batch_size * iters * reps / (time.perf_counter() - t0)
+        state, cls_l = repeat(state, batch, k, *args)
+    last = float(np.asarray(cls_l)[-1])              # sync via D2H
+    elapsed = time.perf_counter() - t0
+    if not math.isfinite(last):
+        raise RuntimeError(f"scanned bench produced non-finite loss: {last}")
+    return batch_size * iters * reps / elapsed
 
 
 def _e2e_embeddings(cfg, table):
@@ -274,6 +289,15 @@ def main() -> None:
         e2e_pps, e2e_input = None, None
 
     tflops = cls_pps * TRAIN_GFLOP_PER_PAIR / 1e3
+    mfu = tflops / V5E_BF16_PEAK_TFLOPS
+    if mfu > 1.0:
+        # physically impossible — the chip cannot exceed its peak-FLOP rate;
+        # any such reading is a synchronization/measurement artifact and must
+        # never be published as a result
+        raise RuntimeError(
+            f"measured {tflops:.0f} TF/s exceeds the {V5E_BF16_PEAK_TFLOPS} "
+            f"TF/s bf16 peak (mfu={mfu:.2f}) — timing did not capture real "
+            "device execution")
     print(json.dumps({
         "metric": "train_pairs_per_sec_per_chip",
         "value": round(cls_pps, 2),
@@ -282,7 +306,7 @@ def main() -> None:
         "vs_baseline_band": [round(cls_pps / A100_BASELINE_BAND[1], 2),
                              round(cls_pps / A100_BASELINE_BAND[0], 2)],
         "tflops_per_sec": round(tflops, 1),
-        "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 3),
+        "mfu": round(mfu, 3),
         "ssl_step_pairs_per_sec": round(ssl_pps, 2),
         "full_step_pairs_per_sec": round(full_pps, 2),
         "per_dispatch_pairs_per_sec": round(dispatch_pps, 2),

@@ -34,6 +34,7 @@ from druglamp_tpu.losses.schedules import MarginSchedule
 from druglamp_tpu.train.schedule import cosine_warmup_restarts_lr
 from druglamp_tpu.train.state import TrainState
 from druglamp_tpu.train.steps import make_eval_step, make_train_step
+from druglamp_tpu.utils.jaxsetup import release_host_memory
 from druglamp_tpu.utils.logging import ExperimentLogger
 
 
@@ -210,6 +211,7 @@ class Trainer:
                     self.logger.log_dict({"event": "early_stop", "epoch": epoch,
                                           "best_epoch": self.best_epoch})
                 break
+            release_host_memory()   # bound allocator free-list growth (~1 ms)
         return state
 
     def _fit_epoch_loop(self, state, epoch, rng, compute_ssl, compute_cm,
