@@ -148,6 +148,7 @@ def _measure_step_scanned(model, use_ssl, use_cm, state, batch, args, rng,
 
     repeat = make_repeat_step(model, use_ssl=use_ssl, use_cm=use_cm,
                               iters=iters)
+    step0 = int(np.asarray(state.step))
     rng, k = jax.random.split(rng)
     state, cls_l = repeat(state, batch, k, *args)    # warm: compiles
     float(np.asarray(cls_l)[-1])                     # sync via D2H
@@ -160,6 +161,13 @@ def _measure_step_scanned(model, use_ssl, use_cm, state, batch, args, rng,
     elapsed = time.perf_counter() - t0
     if not math.isfinite(last):
         raise RuntimeError(f"scanned bench produced non-finite loss: {last}")
+    # decisive execution proof: the optimizer step counter must have
+    # advanced by exactly iters steps per dispatch
+    steps_done = int(np.asarray(state.step)) - step0
+    if steps_done != iters * (reps + 1):
+        raise RuntimeError(
+            f"scanned bench executed {steps_done} steps, expected "
+            f"{iters * (reps + 1)} — the scan did not run as dispatched")
     return batch_size * iters * reps / elapsed
 
 

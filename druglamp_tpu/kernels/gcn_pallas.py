@@ -72,11 +72,15 @@ def _gcn_kernel(packed_ref, nrm_ref, n2r_ref, x_ref, y_ref):
 
     xs = (x * nrm_full).astype(x.dtype)              # fold col scale into x
     # HIGHEST keeps f32 inputs in the multi-pass MXU decomposition (the
-    # default single bf16 pass costs ~1e-3 rel error); bf16 inputs unaffected
+    # default single bf16 pass costs ~1e-3 rel error).  It must NOT be set
+    # for bf16 operands: Mosaic rejects fp32 contract precision on a bf16
+    # lhs ("Bad lhs type" at tpu.matmul lowering).
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     agg = jax.lax.dot_general(a.astype(x.dtype), xs,
                               (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+                              precision=prec)
 
     # row-tile reads as VMEM ref slices (Mosaic has no value-level
     # dynamic_slice; pl.ds on a ref lowers to a supported sliced load)

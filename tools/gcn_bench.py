@@ -61,12 +61,14 @@ def segment_gcn(x, edges, deg, edge_valid):
 
 
 def timeit(fn, *args, iters=50):
+    # sync via D2H fetch, not block_until_ready (unreliable through the
+    # tunneled axon runtime — see bench.py:_measure_step_scanned)
     out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jnp.sum(out))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jnp.sum(out))
     return (time.perf_counter() - t0) / iters * 1e6
 
 

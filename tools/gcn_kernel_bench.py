@@ -15,12 +15,15 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=50):
+    # sync via a real D2H fetch, not block_until_ready: through the tunneled
+    # axon runtime block_until_ready can return before remote execution
+    # finishes (see bench.py:_measure_step_scanned)
     out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jnp.sum(out))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jnp.sum(out))
     return (time.perf_counter() - t0) / iters * 1e3
 
 

@@ -9,6 +9,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from druglamp_tpu.config import Config
 from druglamp_tpu.models.registry import build_model
@@ -26,13 +27,15 @@ def bench(batch_size: int) -> float:
                             "dropout": jax.random.key(1)},
                            batch, jax.random.key(2), method="init_all")
     fwd = jax.jit(lambda v, b: model.apply(v, b, train=False)["score"])
+    # sync via D2H fetch, not block_until_ready (unreliable through the
+    # tunneled axon runtime — see bench.py:_measure_step_scanned)
     out = fwd(variables, batch)
-    jax.block_until_ready(out)
+    np.asarray(jnp.sum(out))
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(variables, batch)
-    jax.block_until_ready(out)
+    np.asarray(jnp.sum(out))
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 

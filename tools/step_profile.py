@@ -20,13 +20,21 @@ from druglamp_tpu.utils.synthetic import make_batch
 BATCH = 16
 
 
+def _sync(tree):
+    """Force completion via a real D2H fetch: through the tunneled axon
+    runtime, block_until_ready can return before remote execution finishes
+    (see bench.py:_measure_step_scanned)."""
+    leaf = jax.tree.leaves(tree)[0]
+    np.asarray(jnp.sum(leaf))
+
+
 def timeit(fn, *args, iters=30):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -50,13 +58,13 @@ def main():
     # thread state through iterations (the step donates its input state)
     out = step(state, batch, jax.random.key(3), *args)
     state = out.state
-    jax.block_until_ready(state.params)
+    _sync(state.params)
     t0 = time.perf_counter()
     iters = 30
     for i in range(iters):
         out = step(state, batch, jax.random.key(4 + i), *args)
         state = out.state
-    jax.block_until_ready(state.params)
+    _sync(state.params)
     t_step = (time.perf_counter() - t0) / iters * 1e3
     print(f"full train step: {t_step:.2f} ms  ({BATCH / t_step * 1000:.0f} pairs/s)")
 
