@@ -111,17 +111,22 @@ def _measure_step(step, state, batch, args, rng, iters: int = ITERS,
     iters steps enqueue before blocking, so execution pipelines)."""
     import jax
 
-    for _ in range(warmup):
-        rng, k = jax.random.split(rng)
-        state = step(state, batch, k, *args).state
-    jax.block_until_ready(state.params)
+    import numpy as np
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        rng, k = jax.random.split(rng)
-        state = step(state, batch, k, *args).state
-    jax.block_until_ready(state.params)
-    return batch_size * iters / (time.perf_counter() - t0)
+    def run(n):
+        nonlocal state, rng
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            rng, k = jax.random.split(rng)
+            out = step(state, batch, k, *args)
+            state = out.state
+        float(np.asarray(out.cls_loss))   # D2H sync (block_until_ready can
+        return time.perf_counter() - t0   # return early through the tunnel)
+
+    run(warmup)
+    ta, tb = run(max(1, iters // 5)), run(iters)
+    return batch_size * (iters - max(1, iters // 5)) / (tb - ta)
 
 
 def _measure_step_scanned(model, use_ssl, use_cm, state, batch, args, rng,
@@ -153,21 +158,29 @@ def _measure_step_scanned(model, use_ssl, use_cm, state, batch, args, rng,
     state, cls_l = repeat(state, batch, k, *args)    # warm: compiles
     float(np.asarray(cls_l)[-1])                     # sync via D2H
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        rng, k = jax.random.split(rng)
-        state, cls_l = repeat(state, batch, k, *args)
-    last = float(np.asarray(cls_l)[-1])              # sync via D2H
-    elapsed = time.perf_counter() - t0
-    if not math.isfinite(last):
-        raise RuntimeError(f"scanned bench produced non-finite loss: {last}")
+    def run(n):
+        nonlocal state, rng, cls_l
+        t0 = time.perf_counter()
+        for _ in range(n):
+            rng, k = jax.random.split(rng)
+            state, cls_l = repeat(state, batch, k, *args)
+        last = float(np.asarray(cls_l)[-1])          # sync via D2H
+        if not math.isfinite(last):
+            raise RuntimeError(f"scanned bench non-finite loss: {last}")
+        return time.perf_counter() - t0
+
+    # two-point measurement: the D2H fetch roundtrip (~100-150 ms tunneled)
+    # cancels in the difference
+    ta, tb = run(1), run(reps + 1)
+    elapsed = tb - ta
     # decisive execution proof: the optimizer step counter must have
     # advanced by exactly iters steps per dispatch
+    total = 1 + 1 + (reps + 1)
     steps_done = int(np.asarray(state.step)) - step0
-    if steps_done != iters * (reps + 1):
+    if steps_done != iters * total:
         raise RuntimeError(
             f"scanned bench executed {steps_done} steps, expected "
-            f"{iters * (reps + 1)} — the scan did not run as dispatched")
+            f"{iters * total} — the scan did not run as dispatched")
     return batch_size * iters * reps / elapsed
 
 

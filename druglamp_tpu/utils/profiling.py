@@ -54,3 +54,36 @@ class StepTimer:
             "p90_ms": 1000 * ts[min(n - 1, int(0.9 * n))],
             "max_ms": 1000 * ts[-1],
         }
+
+
+def device_time_ms(fn, *args, n1: int = 10, n2: int = 40) -> float:
+    """Per-call device execution time via TWO-POINT measurement.
+
+    On the tunneled TPU runtime neither synchronization primitive yields an
+    unbiased microbenchmark by itself: ``jax.block_until_ready`` can return
+    before remote execution completes (timing only enqueue), while a real
+    D2H fetch adds a ~100-150 ms roundtrip that swamps sub-ms kernels when
+    amortized over few iterations.  Timing n1 and n2 enqueue-then-fetch
+    batches and differencing cancels every fixed cost (dispatch setup, the
+    fetch roundtrip) exactly:
+
+        t(n2) - t(n1) = (n2 - n1) * t_exec
+
+    The fetch (``np.asarray`` of a freshly computed scalar sum) also forces
+    completion and surfaces deferred execution errors."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    def run(iters: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        np.asarray(jnp.sum(jax.tree.leaves(out)[0]))
+        return time.perf_counter() - t0
+
+    fn(*args)
+    run(1)                       # warm: compile + first fetch
+    ta, tb = run(n1), run(n2)
+    return (tb - ta) / (n2 - n1) * 1e3

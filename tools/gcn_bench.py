@@ -60,16 +60,12 @@ def segment_gcn(x, edges, deg, edge_valid):
     return jax.vmap(one)(x, edges, n, edge_valid)
 
 
-def timeit(fn, *args, iters=50):
-    # sync via D2H fetch, not block_until_ready (unreliable through the
-    # tunneled axon runtime — see bench.py:_measure_step_scanned)
-    out = fn(*args)
-    np.asarray(jnp.sum(out))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    np.asarray(jnp.sum(out))
-    return (time.perf_counter() - t0) / iters * 1e6
+def timeit(fn, *args):
+    # two-point measurement: fixed dispatch/fetch costs cancel (see
+    # druglamp_tpu.utils.profiling.device_time_ms); µs
+    from druglamp_tpu.utils.profiling import device_time_ms
+
+    return device_time_ms(fn, *args, n1=20, n2=100) * 1e3
 
 
 if __name__ == "__main__":

@@ -14,17 +14,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=50):
-    # sync via a real D2H fetch, not block_until_ready: through the tunneled
-    # axon runtime block_until_ready can return before remote execution
-    # finishes (see bench.py:_measure_step_scanned)
-    out = fn(*args)
-    np.asarray(jnp.sum(out))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    np.asarray(jnp.sum(out))
-    return (time.perf_counter() - t0) / iters * 1e3
+def timeit(fn, *args):
+    # two-point measurement: fixed dispatch/fetch costs cancel (see
+    # druglamp_tpu.utils.profiling.device_time_ms)
+    from druglamp_tpu.utils.profiling import device_time_ms
+
+    return device_time_ms(fn, *args)
 
 
 def main():

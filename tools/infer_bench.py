@@ -27,17 +27,12 @@ def bench(batch_size: int) -> float:
                             "dropout": jax.random.key(1)},
                            batch, jax.random.key(2), method="init_all")
     fwd = jax.jit(lambda v, b: model.apply(v, b, train=False)["score"])
-    # sync via D2H fetch, not block_until_ready (unreliable through the
-    # tunneled axon runtime — see bench.py:_measure_step_scanned)
-    out = fwd(variables, batch)
-    np.asarray(jnp.sum(out))
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, batch)
-    np.asarray(jnp.sum(out))
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    # two-point measurement: fixed dispatch/fetch costs cancel (see
+    # druglamp_tpu.utils.profiling.device_time_ms)
+    from druglamp_tpu.utils.profiling import device_time_ms
+
+    ms = device_time_ms(fwd, variables, batch, n1=20, n2=80)
+    return batch_size / (ms / 1e3)
 
 
 if __name__ == "__main__":

@@ -20,22 +20,33 @@ from druglamp_tpu.utils.synthetic import make_batch
 BATCH = 16
 
 
+from druglamp_tpu.utils.profiling import device_time_ms as timeit
+
+
 def _sync(tree):
-    """Force completion via a real D2H fetch: through the tunneled axon
-    runtime, block_until_ready can return before remote execution finishes
-    (see bench.py:_measure_step_scanned)."""
     leaf = jax.tree.leaves(tree)[0]
     np.asarray(jnp.sum(leaf))
 
 
-def timeit(fn, *args, iters=30):
-    out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+def step_time_ms(step, state, batch, args, n1=10, n2=40):
+    """Two-point measurement for the state-donating train step (fixed costs
+    — dispatch setup, D2H fetch roundtrip — cancel in the difference; see
+    utils.profiling.device_time_ms)."""
+    out = step(state, batch, jax.random.key(3), *args)
+    state = out.state
+    _sync(state.params)
+
+    def run(iters, key0):
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state = step(state, batch, jax.random.key(key0 + i), *args).state
+        _sync(state.params)
+        return time.perf_counter() - t0
+
+    run(1, 1000)
+    ta, tb = run(n1, 2000), run(n2, 3000)
+    return (tb - ta) / (n2 - n1) * 1e3
 
 
 def main():
@@ -55,17 +66,7 @@ def main():
     args = (jnp.float32(1e-4), jnp.float32(3e-5), jnp.float32(1e-5),
             jnp.float32(0.5), jnp.float32(1.0))
 
-    # thread state through iterations (the step donates its input state)
-    out = step(state, batch, jax.random.key(3), *args)
-    state = out.state
-    _sync(state.params)
-    t0 = time.perf_counter()
-    iters = 30
-    for i in range(iters):
-        out = step(state, batch, jax.random.key(4 + i), *args)
-        state = out.state
-    _sync(state.params)
-    t_step = (time.perf_counter() - t0) / iters * 1e3
+    t_step = step_time_ms(step, state, batch, args)
     print(f"full train step: {t_step:.2f} ms  ({BATCH / t_step * 1000:.0f} pairs/s)")
 
     fwd = jax.jit(lambda v, b: model.apply(v, b, train=False)["score"])
@@ -108,14 +109,21 @@ def main():
     t_dec = timeit(jax.jit(lambda b: decode_batch(b)["drug_adj"]), cbatch)
     print(f"decode (unpack)  : {t_dec:.2f} ms")
 
-    def decode_gcn(v, b):
-        d = decode_batch(b)
-        return model.apply(v, d["drug_node_feats"], d["drug_adj"],
-                           d["drug_degrees"], False,
-                           method=lambda m, *a: m.drug_extractor(*a))
+    def decode_gcn(keep_packed):
+        def f(v, b):
+            d = decode_batch(b, keep_packed=keep_packed)
+            return model.apply(v, d["drug_node_feats"], d["drug_adj"],
+                               d["drug_degrees"], False,
+                               method=lambda m, *a: m.drug_extractor(*a))
+        return f
 
-    t_dgcn = timeit(jax.jit(decode_gcn), variables, cbatch)
-    print(f"decode+GCN fwd   : {t_dgcn:.2f} ms")
+    t_dgcn = timeit(jax.jit(decode_gcn(False)), variables, cbatch)
+    print(f"decode+GCN fwd   : {t_dgcn:.2f} ms   (dense decode path)")
+    from druglamp_tpu.kernels.dispatch import get_backend
+
+    if get_backend() == "pallas":
+        t_pgcn = timeit(jax.jit(decode_gcn(True)), variables, cbatch)
+        print(f"packed GCN fwd   : {t_pgcn:.2f} ms   (fused Pallas kernel)")
 
 
 if __name__ == "__main__":
