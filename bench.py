@@ -91,13 +91,26 @@ def make_tier(model_name: str, use_ssl: bool, use_cm: bool, cfg=None,
         batch["cm"] = build_cm_arrays(np.arange(batch_size) % 5,
                                       np.arange(batch_size) % 7,
                                       batch["labels"])
+    if os.environ.get("DRUGLAMP_BENCH_DENSE", "0") != "1":
+        # production-true: the CLI training path ships COMPACT batches and
+        # the step decodes them on device (steps.py:79), so the headline
+        # includes the decode cost (and the packed-GCN kernel when enabled)
+        from druglamp_tpu.data.encoding import compact_batch
+
+        n_atoms = (batch["d_fill"] == 0).sum(axis=1).astype(np.int32)
+        batch = compact_batch(batch, n_atoms)
     batch = jax.tree.map(jnp.asarray, batch)
 
     model = build_model(model_name, cfg, n_drug_feature=n_drug_feature,
                         n_prot_feature=n_prot_feature)
+    # init_all consumes the decoded form (the train step decodes internally,
+    # steps.py:79); decode eagerly for initialization only
+    from druglamp_tpu.data.encoding import decode_batch
+
     variables = model.init({"params": jax.random.key(0),
                             "dropout": jax.random.key(1)},
-                           batch, jax.random.key(2), method="init_all")
+                           decode_batch(dict(batch)), jax.random.key(2),
+                           method="init_all")
     state = TrainState.create(variables, use_ssl=use_ssl, use_cm=use_cm)
     step = make_train_step(model, use_ssl=use_ssl, use_cm=use_cm)
     args = (jnp.float32(1e-4), jnp.float32(3e-5), jnp.float32(1e-5),

@@ -16,10 +16,12 @@ import numpy as np
 
 def timeit(fn, *args):
     # two-point measurement: fixed dispatch/fetch costs cancel (see
-    # druglamp_tpu.utils.profiling.device_time_ms)
+    # druglamp_tpu.utils.profiling.device_time_ms).  Sub-ms kernels need
+    # many iterations per point or enqueue-time noise dominates the
+    # difference (observed: negative readings at n1=10/n2=40).
     from druglamp_tpu.utils.profiling import device_time_ms
 
-    return device_time_ms(fn, *args)
+    return device_time_ms(fn, *args, n1=50, n2=400)
 
 
 def main():
