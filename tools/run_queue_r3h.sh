@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-3 queue part H: quiet-chip A/B of the packed-GCN kernel at the
+# official bench granularity (compact tiers decode inside the 128-step
+# scan), then final summary bench for the round record.
+set -u
+cd /root/repo
+STATUS=logs/queue_r3.status
+note() { echo "$(date +%H:%M:%S) [H] $*" >> "$STATUS"; }
+
+WAIT_PID="${1:?usage: run_queue_r3h.sh <partG-pid>}"
+note "part H waiting for part G pid $WAIT_PID"
+while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
+
+note "A/B: compact bench, dense decode"
+python bench.py > logs/bench_compact_dense.log 2>&1
+note "dense-decode bench rc=$? last=$(tail -1 logs/bench_compact_dense.log)"
+
+note "A/B: compact bench, packed kernel"
+DRUGLAMP_PACKED_GCN=1 python bench.py > logs/bench_compact_packed.log 2>&1
+note "packed-kernel bench rc=$? last=$(tail -1 logs/bench_compact_packed.log)"
+
+note "=== part H complete ==="
