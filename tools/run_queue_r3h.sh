@@ -19,4 +19,16 @@ note "A/B: compact bench, packed kernel"
 DRUGLAMP_PACKED_GCN=1 python bench.py > logs/bench_compact_packed.log 2>&1
 note "packed-kernel bench rc=$? last=$(tail -1 logs/bench_compact_packed.log)"
 
+# In-dataset transfer: biosnap/cluster-trained models scored on the
+# biosnap/random test split (5493 rows; random-split train CSV is a missing
+# upstream blob, so eval-only is the strongest available protocol there).
+for M in DrugLAMP DrugLAMP2C2P; do
+  CKPT=$(ls -dt results/biosnap-cluster-${M}-seed42-*/ckpt_best 2>/dev/null | head -1)
+  note "biosnap/random transfer ${M} using ckpt: $CKPT"
+  python -m druglamp_tpu.cli.main --model ${M} --data biosnap --split random \
+    --seed 42 --eval-only --gen-embed --ckpt "$CKPT" \
+    > logs/biosnap_random_eval_${M}_r3.log 2>&1
+  note "biosnap/random transfer ${M} done rc=$?"
+done
+
 note "=== part H complete ==="
