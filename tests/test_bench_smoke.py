@@ -90,6 +90,23 @@ def test_bench_e2e_embedding_resolution(tmp_path, monkeypatch):
     assert store is None and label == "zeros"
 
 
+def test_throughput_sweep_tool():
+    """tools/throughput_sweep.py's measurement path on a tiny config (same
+    ship-unexercised guard as the bench tiers)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "throughput_sweep",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "throughput_sweep.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    pps = mod.sweep(4, iters=2, reps=1, cfg=tiny_config(),
+                    n_drug_feature=24, n_prot_feature=40)
+    assert pps > 0
+
+
 @pytest.mark.slow
 def test_graft_entry_forward():
     """What the driver compile-checks: entry() at full recipe shapes."""
