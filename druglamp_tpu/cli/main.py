@@ -69,6 +69,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "for reference-parity studies)")
     p.add_argument("--gen-embed", action="store_true",
                    help="generate frozen-encoder embedding caches before training")
+    p.add_argument("--gen-embed-only", action="store_true",
+                   help="generate the embedding caches for this "
+                        "(data, split)'s training entity table, then exit "
+                        "without training (cache warm-up for sweeps/bench)")
     p.add_argument("--resume", action="store_true",
                    help="resume from work-dir's last checkpoint if present")
     p.add_argument("--eval-only", action="store_true",
@@ -210,14 +214,14 @@ def main(argv=None) -> int:
         args.data_root, args.data, args.split, test_file,
         table=train_ds.table, **kw)
 
-    needs_llm = args.model != "DrugLAMPwoLLM"
+    needs_llm = args.model != "DrugLAMPwoLLM" or args.gen_embed_only
     cache_dir = _cache_dir(args, work_dir, train_ds.table)
     if needs_llm:
         import ml_dtypes
 
         cache = EmbeddingCache(cache_dir, args.data, n_drug_feature,
                                n_prot_feature, dtype=ml_dtypes.bfloat16)
-        if args.gen_embed:
+        if args.gen_embed or args.gen_embed_only:
             from druglamp_tpu.encoders.embed_pipeline import generate_embeddings
 
             # --mesh-model > 1 shards the ESM stack over the 'model' axis
@@ -232,6 +236,9 @@ def main(argv=None) -> int:
             if not os.path.exists(sidecar):
                 with open(sidecar, "w") as f:
                     f.write(f"{n_drug_feature}\t{n_prot_feature}\n")
+        if args.gen_embed_only:
+            print(f"[gen-embed-only] caches written to {cache_dir}; exiting")
+            return 0
         missing = [o for o in range(train_ds.table.n_drug) if not cache.has_drug(o)]
         if missing:
             print(f"[warn] {len(missing)} drug embeddings missing from {cache_dir}; "

@@ -206,3 +206,27 @@ def test_cache_dir_namespaced_by_ordinal_scope(tmp_path):
     # explicit --work-dir keeps the cache inside it regardless of scope
     args2 = SimpleNamespace(work_dir="/w", data="human")
     assert _cache_dir(args2, "/w", t_cold) == "/w/embed_cache"
+
+
+def test_gen_embed_only_exits_before_training(tmp_path, monkeypatch, capsys):
+    """--gen-embed-only populates the cache for the training entity table and
+    exits 0 without building a model or training (cache warm-up path used to
+    pre-generate sweep/bench caches)."""
+    from druglamp_tpu.cli.main import main
+    from druglamp_tpu.encoders import embed_pipeline
+
+    calls = []
+
+    def fake_generate(table, cache, **kw):
+        calls.append((table.n_drug, table.n_prot))
+
+    monkeypatch.setattr(embed_pipeline, "generate_embeddings", fake_generate)
+
+    rc = main(["--model", "DrugLAMPwoLLM", "--data", "human",
+               "--split", "random", "--gen-embed-only", "--cutoff", "8",
+               "--work-dir", str(tmp_path / "work")])
+    assert rc == 0
+    assert len(calls) == 1 and calls[0][0] > 0 and calls[0][1] > 0
+    assert "gen-embed-only" in capsys.readouterr().out
+    # no training artifacts: the trainer never ran
+    assert not (tmp_path / "work" / "metrics.jsonl").exists()
