@@ -50,6 +50,65 @@ def unpack_adjacency_np(packed: np.ndarray) -> np.ndarray:
     return bits.reshape(*lead, 8 * nb)
 
 
+# --- bit-packed node features -----------------------------------------------
+# Of the 75 feature columns (74 canonical + pad bit), all are {0,1} one-hots
+# or booleans EXCEPT formal charge (col 61, small signed int) and radical
+# electrons (col 62).  Packing the 73 binary columns into 10 bytes (group-64
+# layout, padded to 80) + 2 int8 columns ships 12 B/atom instead of 75 —
+# 614 KB → 98 KB per batch-16, a ~43% cut of compact-batch H2D bytes.
+FEAT_DIM = 75
+FEAT_INT_COLS = (61, 62)          # charge, radical_electrons
+FEAT_BIN_PACKED_BYTES = 10        # ceil(73 / 8) padded to a multiple of 8 bits
+
+
+def _feat_binary_split(feats: np.ndarray):
+    """(…, 75) → ((…, 73) binary part, (…, 2) int columns)."""
+    ints = feats[..., list(FEAT_INT_COLS)]
+    binary = np.delete(feats, FEAT_INT_COLS, axis=-1)
+    return binary, ints
+
+
+def pack_node_feats(feats: np.ndarray):
+    """(…, 75) int-valued features → ((…, 10) uint8 packed bits,
+    (…, 2) int8 charge/radical)."""
+    binary, ints = _feat_binary_split(np.asarray(feats))
+    nbin = binary.shape[-1]
+    pad = 8 * FEAT_BIN_PACKED_BYTES - nbin
+    if pad:
+        binary = np.concatenate(
+            [binary, np.zeros(binary.shape[:-1] + (pad,), binary.dtype)],
+            axis=-1)
+    return (pack_adjacency((binary > 0).astype(np.uint8)),
+            np.clip(np.rint(ints), -128, 127).astype(np.int8))
+
+
+def unpack_node_feats_np(packed: np.ndarray, ints: np.ndarray) -> np.ndarray:
+    """Host-side inverse of pack_node_feats → (…, 75) float32."""
+    bits = unpack_adjacency_np(packed).astype(np.float32)
+    out = np.empty(bits.shape[:-1] + (FEAT_DIM,), np.float32)
+    c0, c1 = FEAT_INT_COLS
+    out[..., :c0] = bits[..., :c0]
+    out[..., c0] = ints[..., 0]
+    out[..., c1] = ints[..., 1]
+    out[..., c1 + 1 :] = bits[..., c0 : FEAT_DIM - 2]
+    return out
+
+
+def _unpack_node_feats_jnp(packed, ints):
+    """Device-side (jit-traceable) inverse of pack_node_feats → (…,75) f32.
+    FEAT_INT_COLS are adjacent, so the interleave is one concatenate."""
+    import jax.numpy as jnp
+
+    shifts = jnp.arange(8, dtype=jnp.uint8)[:, None]
+    bits = (packed[..., None, :] >> shifts) & jnp.uint8(1)
+    bits = bits.reshape(*packed.shape[:-1], 8 * FEAT_BIN_PACKED_BYTES)
+    bits = bits.astype(jnp.float32)
+    c0 = FEAT_INT_COLS[0]
+    return jnp.concatenate(
+        [bits[..., :c0], ints.astype(jnp.float32),
+         bits[..., c0 : FEAT_DIM - 2]], axis=-1)
+
+
 def compact_batch(batch: Dict[str, Any], n_atoms: np.ndarray) -> Dict[str, Any]:
     """Host-side: convert an assembled float batch to the compact form.
 
@@ -64,8 +123,9 @@ def compact_batch(batch: Dict[str, Any], n_atoms: np.ndarray) -> Dict[str, Any]:
     out["n_atoms"] = n_atoms.astype(np.int32)
     del out["drug_adj"]
     del out["drug_degrees"]
-    out["drug_node_feats"] = np.clip(np.rint(batch["drug_node_feats"]),
-                                     -128, 127).astype(np.int8)
+    out["drug_node_bits"], out["drug_node_ints"] = pack_node_feats(
+        batch["drug_node_feats"])
+    del out["drug_node_feats"]
     out["vp"] = batch["vp"].astype(np.uint8)
     # fill masks → scalars
     p_fill = batch["p_fill"]
@@ -208,7 +268,12 @@ def decode_batch(batch: Dict[str, Any], store=None,
         adj = adj + eye[None] * real[:, :, None].astype(adj.dtype)  # diag 2 real
         out["drug_adj"] = adj
         out["drug_degrees"] = adj.sum(axis=2).astype(jnp.float32)
-    out["drug_node_feats"] = batch["drug_node_feats"].astype(jnp.float32)
+    if "drug_node_bits" in batch:
+        out["drug_node_feats"] = _unpack_node_feats_jnp(
+            batch["drug_node_bits"], batch["drug_node_ints"])
+        del out["drug_node_bits"], out["drug_node_ints"]
+    else:   # older int8 compact form
+        out["drug_node_feats"] = batch["drug_node_feats"].astype(jnp.float32)
     out["vp"] = batch["vp"].astype(jnp.int32)
     L = out["vp"].shape[1]
     out["p_fill"] = (jnp.arange(L)[None, :] >= batch["p_fill_start"][:, None]

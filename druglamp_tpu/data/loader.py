@@ -24,6 +24,7 @@ import numpy as np
 
 from druglamp_tpu.data.cache import ZeroEmbeddings
 from druglamp_tpu.data.dataset import DTIDataset
+from druglamp_tpu.data.encoding import pack_node_feats
 
 
 def build_cm_arrays(prot_ids, drug_ids, labels) -> Dict[str, np.ndarray]:
@@ -228,6 +229,10 @@ class BatchLoader:
 
         batch["valid"] = (np.arange(B) < n_real).astype(np.float32)
         batch["cm"] = self._cm_arrays(idx)
+        # bit-pack the feature columns (12 B/atom instead of 75 — encoding.py)
+        batch["drug_node_bits"], batch["drug_node_ints"] = pack_node_feats(
+            batch["drug_node_feats"])
+        del batch["drug_node_feats"]
         return batch
 
     def _cm_arrays(self, idx):

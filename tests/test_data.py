@@ -417,3 +417,25 @@ def test_stacked_epoch_byte_cap(monkeypatch):
     monkeypatch.setattr(FakeLoader, "STACKED_CHUNK_CAP_BYTES", 1 << 30)
     chunks = list(fl.stacked_epoch(0, 8))
     assert [c["x"].shape[0] for c in chunks] == [8]
+
+
+def test_node_feature_bit_packing_roundtrip():
+    """pack_node_feats → unpack (host np + device jnp) reproduces the 75-dim
+    feature matrix exactly, including negative formal charges and radical
+    counts (the two non-binary columns, encoding.FEAT_INT_COLS)."""
+    import jax
+    import jax.numpy as jnp
+
+    from druglamp_tpu.data.encoding import (FEAT_INT_COLS, _unpack_node_feats_jnp,
+                                            pack_node_feats, unpack_node_feats_np)
+
+    r = np.random.RandomState(0)
+    feats = (r.rand(4, 16, 75) < 0.2).astype(np.float32)
+    feats[..., FEAT_INT_COLS[0]] = r.randint(-2, 3, size=(4, 16))   # charge
+    feats[..., FEAT_INT_COLS[1]] = r.randint(0, 3, size=(4, 16))    # radicals
+    bits, ints = pack_node_feats(feats)
+    assert bits.dtype == np.uint8 and bits.shape == (4, 16, 10)
+    assert ints.dtype == np.int8 and ints.shape == (4, 16, 2)
+    np.testing.assert_array_equal(unpack_node_feats_np(bits, ints), feats)
+    dec = jax.jit(_unpack_node_feats_jnp)(jnp.asarray(bits), jnp.asarray(ints))
+    np.testing.assert_array_equal(np.asarray(dec), feats)
