@@ -21,6 +21,9 @@ per-step-dispatch loop is still reported once (cls tier) as
                           inputs, reference model/DrugLAMP2C2P.py:54-63 —
                           plain DrugLAMP returns None for cm,
                           model/DrugLAMP.py:77)
+  cls_bs64_pairs_per_sec  capability tier: the same cls step at batch 64 —
+                          the recipe pins bs 16, which leaves the chip
+                          unsaturated; this records the larger-batch headroom
   epoch_e2e_pairs_per_sec one full epoch wall-clock through the REAL
                           pipeline: host batch assembly from the human/random
                           CSV, compact encoding, H2D, epoch-in-scan dispatch.
@@ -316,6 +319,18 @@ def main() -> None:
     full_pps = _measure_step_scanned(model, True, True, state, batch, args,
                                      jax.random.key(5))
 
+    # capability tier: same cls step at bs 64 — the recipe pins bs 16
+    # (configs/DrugLAMP.yaml SOLVER.BATCH_SIZE) but the chip is not saturated
+    # there; this field records the throughput headroom a larger-batch recipe
+    # would unlock (tools/throughput_sweep.py sweeps the full curve)
+    _, state, batch, args, model = make_tier("DrugLAMP", use_ssl=False,
+                                             use_cm=False, cfg=cfg,
+                                             batch_size=64)
+    bs64_pps = _measure_step_scanned(model, False, False, state, batch, args,
+                                     jax.random.key(5),
+                                     iters=max(8, SCAN_ITERS // 4),
+                                     batch_size=64)
+
     try:
         e2e_pps, e2e_input = _measure_epoch_e2e(cfg)
     except Exception as e:   # the headline number must survive a bad e2e env
@@ -343,6 +358,9 @@ def main() -> None:
         "mfu": round(mfu, 3),
         "ssl_step_pairs_per_sec": round(ssl_pps, 2),
         "full_step_pairs_per_sec": round(full_pps, 2),
+        "cls_bs64_pairs_per_sec": round(bs64_pps, 2),
+        "mfu_bs64": round(bs64_pps * TRAIN_GFLOP_PER_PAIR / 1e3
+                          / V5E_BF16_PEAK_TFLOPS, 3),
         "per_dispatch_pairs_per_sec": round(dispatch_pps, 2),
         "scan_iters": SCAN_ITERS,
         "epoch_e2e_pairs_per_sec": round(e2e_pps, 2) if e2e_pps else None,

@@ -70,7 +70,8 @@ def test_bench_main_tier_list_matches_source():
     calls = [l.strip() for l in src.splitlines() if "make_tier(" in l]
     models = [c.split('"')[1] for c in calls]
     expect = [BENCH_TIERS[0][0], BENCH_TIERS[0][0],   # per-dispatch + scanned
-              BENCH_TIERS[1][0], BENCH_TIERS[2][0]]
+              BENCH_TIERS[1][0], BENCH_TIERS[2][0],
+              BENCH_TIERS[0][0]]                      # bs64 capability tier
     assert models == expect, (models, expect)
 
 
