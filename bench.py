@@ -41,10 +41,12 @@ baseline derivation" (≈27 GFLOP/pair train at the 5–15% MFU band typical of
 small-shape eager PyTorch with per-sample torch.load input I/O → a 58–173
 pairs/s BAND).  vs_baseline = value / 100 (band midpoint; systematic ±1.7×).
 
-MFU accounting (the unimpeachable number): the cls train step costs
-≈21 GFLOP/pair (BASELINE.md: fwd ≈7 GFLOP/pair ×3 for fwd+bwd), so
-tflops_per_sec = pairs/s × 0.021 and mfu = tflops / chip bf16 peak
-(TPU v5e: 197 TFLOP/s bf16).
+MFU accounting (the unimpeachable number): per-pair step FLOPs come from
+XLA's HLO cost analysis of the lowered step at recipe shapes
+(tools/flop_audit.py: cls 25.5 / ssl 55.0 / full 76.7 GFLOP/pair —
+fusion-invariant counts incl. optimizer+BN+decode), so tflops_per_sec =
+pairs/s × gflop/1e3 and mfu = tflops / chip bf16 peak (TPU v5e:
+197 TFLOP/s bf16).
 """
 
 from __future__ import annotations
@@ -55,7 +57,11 @@ import time
 
 A100_BASELINE_PAIRS_PER_SEC = 100.0   # band midpoint: BASELINE.md (5-15% MFU)
 A100_BASELINE_BAND = (58.0, 173.0)
-TRAIN_GFLOP_PER_PAIR = 21.0           # cls step ≈ 3× fwd (BASELINE.md)
+# XLA HLO cost analysis of the lowered step at recipe shapes
+# (tools/flop_audit.py; supersedes BASELINE.md's hand-derived ~21)
+TRAIN_GFLOP_PER_PAIR = 25.5           # cls tier
+SSL_GFLOP_PER_PAIR = 55.0             # DrugLAMP SSL-gate tier
+FULL_GFLOP_PER_PAIR = 76.7            # 2C2P SSL+CM tier
 V5E_BF16_PEAK_TFLOPS = 197.0
 BATCH = 16
 WARMUP = 3
@@ -357,7 +363,11 @@ def main() -> None:
         "tflops_per_sec": round(tflops, 1),
         "mfu": round(mfu, 3),
         "ssl_step_pairs_per_sec": round(ssl_pps, 2),
+        "mfu_ssl": round(ssl_pps * SSL_GFLOP_PER_PAIR / 1e3
+                         / V5E_BF16_PEAK_TFLOPS, 3),
         "full_step_pairs_per_sec": round(full_pps, 2),
+        "mfu_full": round(full_pps * FULL_GFLOP_PER_PAIR / 1e3
+                          / V5E_BF16_PEAK_TFLOPS, 3),
         "cls_bs64_pairs_per_sec": round(bs64_pps, 2),
         "mfu_bs64": round(bs64_pps * TRAIN_GFLOP_PER_PAIR / 1e3
                           / V5E_BF16_PEAK_TFLOPS, 3),

@@ -127,3 +127,21 @@ def test_bench_measure_step_full_shapes():
     pps = bench._measure_step(step, state, batch, args, jax.random.key(0),
                               iters=1, warmup=1)
     assert pps > 0
+
+
+def test_flop_audit_tool():
+    """tools/flop_audit.py's lowering path on a tiny config (ship-unexercised
+    guard; full-shape numbers live in BASELINE.md)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "flop_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "flop_audit.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.audit_tier("DrugLAMP", False, False, batch_size=4,
+                         cfg=tiny_config(), n_drug_feature=24,
+                         n_prot_feature=40)
+    assert out["gflop_per_pair"] > 0
