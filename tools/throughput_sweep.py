@@ -14,7 +14,8 @@ import math
 import sys
 import time
 
-TRAIN_GFLOP_PER_PAIR = 21.0          # BASELINE.md#a100-baseline-derivation
+TRAIN_GFLOP_PER_PAIR = 25.5          # XLA-audited (tools/flop_audit.py);
+                                     # batch-size-invariant per flop_audit
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
