@@ -71,18 +71,27 @@ def _bucket(n: int) -> int:
 
 
 def _batched(items: List[Tuple[int, np.ndarray]], batch: int, pad_id: int):
-    """Group (ordinal, ids) by length bucket, yield padded (ords, tokens)."""
+    """Group (ordinal, ids) by length bucket, yield padded (ords, tokens).
+
+    The batch dimension is ALWAYS padded to ``batch`` (tail rows replicate
+    row 0 and are excluded from ``ords``/``lens``, so consumers never see
+    them): a ragged tail chunk would otherwise compile a fresh program per
+    (bucket, tail-size) — 10+ cold-compile minutes per new dataset through
+    the tunneled runtime.  Encoder rows are batch-independent (LayerNorm
+    only), so duplicate pad rows cannot perturb real outputs."""
     by_bucket: Dict[int, List[Tuple[int, np.ndarray]]] = {}
     for ordn, ids in items:
         by_bucket.setdefault(_bucket(len(ids)), []).append((ordn, ids))
     for b, group in sorted(by_bucket.items()):
         for s in range(0, len(group), batch):
             chunk = group[s : s + batch]
-            toks = np.full((len(chunk), b), pad_id, np.int32)
+            toks = np.full((batch, b), pad_id, np.int32)
             lens = []
             for r, (_, ids) in enumerate(chunk):
                 toks[r, : len(ids)] = ids
                 lens.append(len(ids))
+            for r in range(len(chunk), batch):      # replicate, don't pad-id
+                toks[r] = toks[0]
             yield [o for o, _ in chunk], toks, lens
 
 

@@ -335,3 +335,24 @@ def test_generate_embeddings_from_ckpt_file(hf_esm, tmp_path):
     direct = np.asarray(model.apply({"params": params}, jnp.asarray(pad)))
     np.testing.assert_allclose(cache.prot(0), direct[0, :len(seq) + 2],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_batched_pads_batch_dim_to_fixed_shape():
+    """Tail chunks must not produce ragged batch shapes (each unique
+    (bucket, tail) pair would cold-compile a fresh encoder program)."""
+    import numpy as np
+
+    from druglamp_tpu.encoders.embed_pipeline import _batched
+
+    items = [(i, np.arange(1, 5 + i, dtype=np.int32)) for i in range(11)]
+    shapes, seen = set(), []
+    for ords, toks, lens in _batched(items, batch=4, pad_id=0):
+        assert toks.shape[0] == 4
+        shapes.add(toks.shape)
+        seen.extend(ords)
+        assert len(ords) == len(lens) <= 4
+        for r, (o, ln) in enumerate(zip(ords, lens)):
+            assert ln == 4 + o
+            assert (toks[r, :ln] == np.arange(1, 5 + o)).all()
+    assert sorted(seen) == list(range(11))          # every item exactly once
+    assert len(shapes) <= 2                         # one per length bucket
