@@ -39,7 +39,7 @@ class TorchDrugLAMP2C2P(torch.nn.Module):
     """Functional torch mirror parameterized by the flax param tree."""
 
     def __init__(self, flax_params: Dict, cfg, n_drug_feature: int,
-                 n_prot_feature: int):
+                 n_prot_feature: int, track_running_stats: bool = False):
         super().__init__()
         self.cfg = cfg
         self.site_len = cfg.protein.site_len
@@ -50,6 +50,13 @@ class TorchDrugLAMP2C2P(torch.nn.Module):
             k: torch.nn.Parameter(torch.tensor(v, dtype=torch.float32))
             for k, v in _flatten(flax_params).items()
         })
+        # track_running_stats=True gives full torch BatchNorm1d semantics
+        # (momentum 0.1 EMA of mean/unbiased var, used in eval mode) so the
+        # mirror can run a real train→eval experiment
+        # (tools/two_framework_train.py); False keeps the original
+        # train-mode-only behavior for the step-parity tests.
+        self.track_running_stats = track_running_stats
+        self._bn_stats: Dict[str, tuple] = {}
 
     # --- primitives ---------------------------------------------------------
 
@@ -64,12 +71,22 @@ class TorchDrugLAMP2C2P(torch.nn.Module):
         return F.layer_norm(x, (C,), self.p[f"{name}/scale"],
                             self.p[f"{name}/bias"], eps)
 
+    def _bn_apply(self, x, key, weight, bias):
+        if not self.track_running_stats:
+            return F.batch_norm(x, None, None, weight, bias,
+                                training=True, eps=1e-5)
+        if key not in self._bn_stats:
+            C = x.shape[1]
+            self._bn_stats[key] = (torch.zeros(C), torch.ones(C))
+        rm, rv = self._bn_stats[key]
+        return F.batch_norm(x, rm, rv, weight, bias, training=self.training,
+                            momentum=0.1, eps=1e-5)
+
     def bn(self, x2d, name):
-        """BatchNorm1d train-mode over (N, C); affine from flax params."""
-        return F.batch_norm(x2d, None, None,
-                            self.p[f"{name}/BatchNorm_0/scale"],
-                            self.p[f"{name}/BatchNorm_0/bias"],
-                            training=True, eps=1e-5)
+        """BatchNorm1d over (N, C); affine from flax params."""
+        return self._bn_apply(x2d, name,
+                              self.p[f"{name}/BatchNorm_0/scale"],
+                              self.p[f"{name}/BatchNorm_0/bias"])
 
     # --- extractors ---------------------------------------------------------
 
@@ -99,10 +116,10 @@ class TorchDrugLAMP2C2P(torch.nn.Module):
             total = k - 1
             x = F.pad(x, (total // 2, total - total // 2))
             x = F.relu(F.conv1d(x, w, b))
-            x = F.batch_norm(x, None, None,
-                             self.p[f"protein_extractor/bn{i + 1}/BatchNorm_0/scale"],
-                             self.p[f"protein_extractor/bn{i + 1}/BatchNorm_0/bias"],
-                             training=True, eps=1e-5)
+            x = self._bn_apply(
+                x, f"protein_extractor/bn{i + 1}",
+                self.p[f"protein_extractor/bn{i + 1}/BatchNorm_0/scale"],
+                self.p[f"protein_extractor/bn{i + 1}/BatchNorm_0/bias"])
         return x.transpose(2, 1)  # (B, L, C)
 
     # --- fusion -------------------------------------------------------------
@@ -337,8 +354,8 @@ class TorchDrugLAMP2C2P(torch.nn.Module):
 
     def bn_cm(self, x2d, name):
         """cm Mean2Embed BatchNorm (params not nested under BatchNorm_0)."""
-        return F.batch_norm(x2d, None, None, self.p[f"{name}/scale"],
-                            self.p[f"{name}/bias"], training=True, eps=1e-5)
+        return self._bn_apply(x2d, name, self.p[f"{name}/scale"],
+                              self.p[f"{name}/bias"])
 
 
 def bce(score, labels):
