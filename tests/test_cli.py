@@ -230,3 +230,23 @@ def test_gen_embed_only_exits_before_training(tmp_path, monkeypatch, capsys):
     assert "gen-embed-only" in capsys.readouterr().out
     # no training artifacts: the trainer never ran
     assert not (tmp_path / "work" / "metrics.jsonl").exists()
+
+
+def test_write_eval_record_artifact(tmp_path):
+    """--eval-only must leave a results/ metrics.jsonl artifact (stdout-only
+    eval records live in untracked logs/ and die with workspace resets)."""
+    import json as _json
+    from types import SimpleNamespace
+
+    from druglamp_tpu.cli.main import write_eval_record
+
+    args = SimpleNamespace(data="bindingdb", split="cluster",
+                           model="DrugLAMP2C2P", seed=42, ckpt=str(tmp_path))
+    rec = {"test_auroc": 0.5, "test_auprc": 0.5}
+    out_dir = write_eval_record(args, rec, n_rows=907,
+                                results_root=str(tmp_path / "results"))
+    lines = [_json.loads(l) for l in
+             open(f"{out_dir}/metrics.jsonl").read().splitlines()]
+    assert lines[0]["event"] == "eval_only"
+    assert lines[0]["n_rows"] == 907
+    assert lines[1] == rec
