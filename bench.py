@@ -32,6 +32,11 @@ per-step-dispatch loop is still reported once (cls tier) as
                           (epoch_e2e_input="cache+store"); otherwise zero
                           embeddings (epoch_e2e_input="zeros", i.e. a
                           woLLM-shaped input cost).
+  epoch_e2e_dd_pairs_per_sec  the same epoch via the device-resident dataset
+                          (data/device_data.py, --device-data on): the
+                          dataset lives in HBM and each epoch ships only the
+                          (S, B) int32 index plan.  The A/B partner for
+                          epoch_e2e; requires the ordinal embedding store.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
@@ -231,11 +236,17 @@ def _e2e_embeddings(cfg, table):
     return ZeroEmbeddings(384, 640), None, "zeros"
 
 
-def _measure_epoch_e2e(cfg):
+def _measure_epoch_e2e(cfg, device_data: bool = False):
     """Wall-clock pairs/s for one epoch of the real pipeline (CSV → host
     featurization/assembly → compact → H2D → scan-driver train steps).
     Dataset featurization (one-time, amortized across a run) is excluded;
-    the first epoch warms the scan compile via the persistent cache."""
+    the first epoch warms the scan compile via the persistent cache.
+
+    ``device_data=True`` measures the device-resident-dataset mode
+    (data/device_data.py): the dataset is uploaded once and each epoch ships
+    only the (S, B) int32 index plan — the A/B partner for the host-pipeline
+    number.  Requires the ordinal embedding store (LLM model); returns
+    (None, reason) when unsupported."""
     import jax
     import jax.numpy as jnp
 
@@ -257,6 +268,9 @@ def _measure_epoch_e2e(cfg):
                          include_llm=True, compact=True,
                          emb_ordinals=store is not None)
     store_tree = store.tree if store is not None else None
+    if device_data:
+        return _measure_epoch_e2e_device_data(cfg, ds, loader, store_tree,
+                                              input_label)
 
     def shard(b):
         b = jax.tree.map(jnp.asarray, b)
@@ -293,6 +307,63 @@ def _measure_epoch_e2e(cfg):
         return n / (time.perf_counter() - t0)
 
     run_epoch(0)           # warm: compiles (persistent-cache backed)
+    return run_epoch(1), input_label
+
+
+def _measure_epoch_e2e_device_data(cfg, ds, loader, store_tree, input_label):
+    """Device-resident-dataset epoch: gather batches from HBM by index
+    (train.steps.make_epoch_step_gather).  Same rows, same batch order, same
+    step math as the host-pipeline e2e tier — only the transport differs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from druglamp_tpu.data.device_data import (DeviceDataStore,
+                                               train_index_plan)
+    from druglamp_tpu.data.encoding import decode_batch
+    from druglamp_tpu.models.registry import build_model
+    from druglamp_tpu.train.state import TrainState
+    from druglamp_tpu.train.steps import make_epoch_step_gather
+
+    if not DeviceDataStore.supports(loader):
+        return None, f"unsupported ({input_label})"
+    dd = DeviceDataStore.build(ds.table, cfg.drug.max_nodes,
+                               cfg.protein.seq_len,
+                               include_llm=loader.include_llm,
+                               emb_ordinals=loader.emb_ordinals)
+    tree = dd.tree_for(ds)
+
+    model = build_model("DrugLAMP", cfg)
+    ex = loader.first_batch()
+    ex = decode_batch(jax.tree.map(jnp.asarray, ex), store=store_tree)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           ex, jax.random.key(2), method="init_all")
+    epoch_fn = make_epoch_step_gather(model, use_ssl=False, use_cm=False,
+                                      include_llm=loader.include_llm,
+                                      emb_ordinals=loader.emb_ordinals)
+    args = (jnp.float32(1e-4), jnp.float32(3e-5), jnp.float32(1e-5),
+            jnp.float32(0.5), jnp.float32(1.0))
+    chunk = cfg.solver.scan_chunk
+
+    def run_epoch(ep):
+        state = TrainState.create(
+            jax.tree.map(jnp.copy, variables), use_ssl=False, use_cm=False)
+        rng = jax.random.key(4)
+        idx = train_index_plan(loader._order(ep), BATCH)
+        ones = np.ones(idx.shape, np.float32)
+        n = idx.size
+        t0 = time.perf_counter()
+        out = None
+        for s in range(0, idx.shape[0], chunk):
+            out = epoch_fn(state, jnp.asarray(idx[s : s + chunk]),
+                           jnp.asarray(ones[s : s + chunk]), tree,
+                           store_tree, rng, *args)
+            state, rng = out.state, out.rng
+        float(np.asarray(out.cls_losses)[-1])   # D2H sync (proof of execution)
+        return n / (time.perf_counter() - t0)
+
+    run_epoch(0)           # warm: compiles
     return run_epoch(1), input_label
 
 
@@ -343,6 +414,12 @@ def main() -> None:
         print(f"[bench] epoch_e2e failed: {e!r}", flush=True)
         e2e_pps, e2e_input = None, None
 
+    try:
+        e2e_dd_pps, e2e_dd_input = _measure_epoch_e2e(cfg, device_data=True)
+    except Exception as e:
+        print(f"[bench] epoch_e2e_dd failed: {e!r}", flush=True)
+        e2e_dd_pps, e2e_dd_input = None, None
+
     tflops = cls_pps * TRAIN_GFLOP_PER_PAIR / 1e3
     mfu = tflops / V5E_BF16_PEAK_TFLOPS
     if mfu > 1.0:
@@ -375,6 +452,9 @@ def main() -> None:
         "scan_iters": SCAN_ITERS,
         "epoch_e2e_pairs_per_sec": round(e2e_pps, 2) if e2e_pps else None,
         "epoch_e2e_input": e2e_input,
+        "epoch_e2e_dd_pairs_per_sec": round(e2e_dd_pps, 2) if e2e_dd_pps
+        else None,
+        "epoch_e2e_dd_input": e2e_dd_input,
         "baseline_derivation": "BASELINE.md#a100-baseline-derivation",
     }))
 

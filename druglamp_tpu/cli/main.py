@@ -88,6 +88,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "when caches are missing (otherwise it refuses: "
                         "scoring an LLM-stream model on zeros records "
                         "meaningless metrics)")
+    p.add_argument("--device-data", type=str,
+                   default=os.environ.get("DRUGLAMP_DEVICE_DATA", "off"),
+                   choices=["on", "off"],
+                   help="upload the dataset's compact arrays to HBM once and "
+                        "gather batches on device inside the jitted scan "
+                        "(data/device_data.py); epochs then ship only int32 "
+                        "index arrays.  Default off (host pipeline); also "
+                        "settable via DRUGLAMP_DEVICE_DATA=on")
     p.add_argument("--esm-ckpt", type=str, default=None,
                    help="local ESM-2 checkpoint (torch state_dict .pt or "
                         ".safetensors, HF- or fair-esm-named) used by "
@@ -293,8 +301,15 @@ def main(argv=None) -> int:
         for ld in (train_loader, val_loader, test_loader):
             ld.cm_groups = bn_groups
 
+    # explicit --work-dir: keep ALL artifacts (incl. metrics.jsonl) under it
+    # rather than polluting results/ — scratch/verification runs must never
+    # masquerade as protocol result cells
+    log_root, log_name = ((os.path.dirname(work_dir) or ".",
+                           os.path.basename(work_dir))
+                          if args.work_dir else
+                          (cfg.result.output_dir, exp_name))
     logger = ExperimentLogger(
-        cfg.result.output_dir, exp_name,
+        log_root, log_name,
         hyperparams={"model": args.model, "data": args.data, "split": args.split,
                      "seed": args.seed, "batch_size": bs,
                      "max_epoch": cfg.solver.max_epoch, "lr": cfg.solver.lr,
@@ -303,11 +318,31 @@ def main(argv=None) -> int:
         comet_cfg={"project_name": cfg.comet.project_name,
                    "workspace": cfg.comet.workspace})
 
+    device_data = None
+    if args.device_data == "on":
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from druglamp_tpu.data.device_data import DeviceDataStore
+
+        if DeviceDataStore.supports(train_loader):
+            device_data = DeviceDataStore.build(
+                train_ds.table, cfg.drug.max_nodes, cfg.protein.seq_len,
+                include_llm=needs_llm, emb_ordinals=use_ords,
+                sharding=NamedSharding(mesh_ctx.mesh, PartitionSpec()))
+            print(f"[info] device-resident dataset: "
+                  f"{device_data.nbytes() / 1e6:.0f} MB uploaded",
+                  file=sys.stderr)
+        else:
+            print("[info] --device-data on: unsupported loader config "
+                  "(dense LLM batches or grouped CM); using host pipeline",
+                  file=sys.stderr)
+
     trainer = Trainer(model, cfg, train_loader, val_loader, test_loader,
                       logger=logger, work_dir=work_dir,
                       shard_fn=mesh_ctx.fused_shard_batch,
                       stacked_shard_fn=mesh_ctx.shard_stacked_batch,
-                      embed_store=store.tree if store is not None else None)
+                      embed_store=store.tree if store is not None else None,
+                      device_data=device_data)
     example = train_loader.first_batch()
     metrics = trainer.run_experiment(example, seed=cfg.solver.seed, resume=args.resume)
     print({f"test_{k}": round(v, 5) for k, v in metrics.items()})

@@ -197,6 +197,69 @@ def make_epoch_step(model, use_ssl: bool, use_cm: bool, calibrate: bool = False,
     return epoch_step
 
 
+def make_epoch_step_gather(model, use_ssl: bool, use_cm: bool,
+                           include_llm: bool, emb_ordinals: bool,
+                           calibrate: bool = False,
+                           grad_mode: str = "per_loss",
+                           n_class: int = 1) -> Callable:
+    """Epoch-chunk driver for the device-resident dataset (data/device_data):
+    ONE dispatch runs S steps, each GATHERING its batch from the uploaded
+    store by (S, B) pair indices instead of consuming host-stacked arrays.
+    Per-chunk H2D shrinks from ~MBs of batch data to the index array (~KBs);
+    host assembly disappears entirely.  Trajectories are identical to
+    make_epoch_step fed by BatchLoader on the same index order
+    (tests/test_device_data.py::test_gather_trajectory_matches_scan)."""
+    from druglamp_tpu.data.device_data import gather_compact_batch
+
+    body = _make_step_body(model, use_ssl, use_cm, calibrate, grad_mode, n_class)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_step(state: TrainState, idx, valid, data_tree, emb_store, rng,
+                   lr_cls, lr_ssl, lr_cm, margin, cm_weight) -> EpochOutput:
+        def scan_body(carry, step_in):
+            state, w, rng = carry
+            step_idx, step_valid = step_in
+            rng, step_rng = jax.random.split(rng)
+            batch = gather_compact_batch(data_tree, step_idx, step_valid,
+                                         include_llm, emb_ordinals, emb_store)
+            if emb_store is not None:
+                batch["_store"] = emb_store
+            out = body(state, batch, step_rng, lr_cls, lr_ssl, lr_cm, margin, w)
+            return ((out.state, out.cm_weight, rng),
+                    (out.cls_loss, out.ssl_loss, out.cm_loss))
+
+        (state, w, rng), (cls_l, ssl_l, cm_l) = jax.lax.scan(
+            scan_body, (state, cm_weight, rng), (idx, valid))
+        return EpochOutput(state, cls_l, ssl_l, cm_l, w, rng)
+
+    return epoch_step
+
+
+def make_eval_scan_gather(model, include_llm: bool, emb_ordinals: bool,
+                          n_class: int = 1) -> Callable:
+    """Eval twin of make_epoch_step_gather: scores S index-gathered batches
+    in one dispatch; with the dataset device-resident, a whole eval pass
+    ships only the (S, B) index array and pulls back (S, B) probs."""
+    from druglamp_tpu.data.device_data import gather_compact_batch
+
+    step = _eval_body(model, n_class)
+
+    @jax.jit
+    def eval_scan(params, batch_stats, idx, valid, data_tree, emb_store):
+        def body(_, step_in):
+            step_idx, step_valid = step_in
+            batch = gather_compact_batch(data_tree, step_idx, step_valid,
+                                         include_llm, emb_ordinals, emb_store)
+            if emb_store is not None:
+                batch["_store"] = emb_store
+            return None, step(params, batch_stats, batch)
+
+        _, (probs, losses) = jax.lax.scan(body, None, (idx, valid))
+        return probs, losses                      # (S, B), (S,)
+
+    return eval_scan
+
+
 def make_repeat_step(model, use_ssl: bool, use_cm: bool, iters: int,
                      calibrate: bool = False, grad_mode: str = "per_loss",
                      n_class: int = 1) -> Callable:

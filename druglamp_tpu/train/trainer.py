@@ -58,7 +58,7 @@ class Trainer:
                  val_loader: BatchLoader, test_loader: BatchLoader,
                  logger: Optional[ExperimentLogger] = None,
                  work_dir: str = "results/run", shard_fn=None,
-                 stacked_shard_fn=None, embed_store=None):
+                 stacked_shard_fn=None, embed_store=None, device_data=None):
         self.model = model
         self.cfg = cfg
         self.train_loader = train_loader
@@ -73,6 +73,12 @@ class Trainer:
         # attached to every dispatched batch under "_store" (post-shard, so
         # the fuser/stacker never see it and it is never re-uploaded)
         self.embed_store = embed_store
+        # device-resident dataset (data/device_data.DeviceDataStore): epochs
+        # ship only (S, B) int32 index arrays; batches are gathered from HBM
+        # inside the jitted scan.  None → host assembly pipeline.
+        self.device_data = device_data
+        self._gather_fns: Dict[Any, Any] = {}
+        self._eval_gather_fn = None
         if embed_store is not None:
             base, sbase = self.shard_fn, self.stacked_shard_fn
             self.shard_fn = lambda b: {**base(b), "_store": embed_store}
@@ -155,7 +161,11 @@ class Trainer:
             margin = self.margin_sched.margin
 
             t0 = time.time()
-            if self.scan_chunk > 1:
+            if self.device_data is not None:
+                state, cls_sum, ssl_sum, cm_sum, n_batches = self._fit_epoch_gather(
+                    state, epoch, rng, compute_ssl, compute_cm, calibrate,
+                    lr_cls, lr_ssl, lr_cm, margin)
+            elif self.scan_chunk > 1:
                 state, cls_sum, ssl_sum, cm_sum, n_batches = self._fit_epoch_scan(
                     state, epoch, rng, compute_ssl, compute_cm, calibrate,
                     lr_cls, lr_ssl, lr_cm, margin)
@@ -279,6 +289,88 @@ class Trainer:
         cm_sum = float(np.sum([np.sum(np.asarray(x)) for x in cm_l]))
         return state, cls_sum, ssl_sum, cm_sum, n_batches
 
+    def _fit_epoch_gather(self, state, epoch, rng, compute_ssl, compute_cm,
+                          calibrate, lr_cls, lr_ssl, lr_cm, margin):
+        """Device-resident-dataset dispatch: like _fit_epoch_scan, but each
+        scan step GATHERS its batch from the uploaded store by pair index
+        (data/device_data) — per-epoch H2D is one small int32 index array
+        and host assembly disappears.  Identical trajectories to the scan
+        path on the same loader order (tests/test_device_data.py)."""
+        key = (compute_ssl, compute_cm, calibrate)
+        if key not in self._gather_fns:
+            from druglamp_tpu.train.steps import make_epoch_step_gather
+
+            self._gather_fns[key] = make_epoch_step_gather(
+                self.model, use_ssl=compute_ssl, use_cm=compute_cm,
+                include_llm=self.device_data.include_llm,
+                emb_ordinals=self.device_data.emb_ordinals,
+                calibrate=calibrate, grad_mode=self.cfg.solver.grad_mode,
+                n_class=self.n_class)
+        epoch_fn = self._gather_fns[key]
+
+        from druglamp_tpu.data.device_data import train_index_plan
+
+        tree = self.device_data.tree_for(self.train_loader.ds)
+        idx = train_index_plan(self.train_loader._order(epoch),
+                               self.train_loader.batch_size)
+        n_steps = idx.shape[0]
+        ones = np.ones(idx.shape, np.float32)
+        chunk = max(1, self.scan_chunk)
+
+        cls_l, ssl_l, cm_l = [], [], []
+        cm_w = jnp.float32(self.cm_weight)
+        for s in range(0, n_steps, chunk):
+            out = epoch_fn(state, jnp.asarray(idx[s : s + chunk]),
+                           jnp.asarray(ones[s : s + chunk]), tree,
+                           self.embed_store, rng, jnp.float32(lr_cls),
+                           jnp.float32(lr_ssl), jnp.float32(lr_cm),
+                           jnp.float32(margin), cm_w)
+            state, rng, cm_w = out.state, out.rng, out.cm_weight
+            cls_l.append(out.cls_losses)
+            ssl_l.append(out.ssl_losses)
+            cm_l.append(out.cm_losses)
+        if calibrate or compute_cm:
+            self.cm_weight = float(cm_w)
+        cls_sum = float(np.sum([np.sum(np.asarray(x)) for x in cls_l]))
+        ssl_sum = float(np.sum([np.sum(np.asarray(x)) for x in ssl_l]))
+        cm_sum = float(np.sum([np.sum(np.asarray(x)) for x in cm_l]))
+        return state, cls_sum, ssl_sum, cm_sum, n_steps
+
+    def _evaluate_gather(self, state: TrainState, loader: BatchLoader,
+                         full: bool) -> Dict[str, float]:
+        """Eval via the device-resident store: the whole pass ships only the
+        (S, B) index plan and pulls back probabilities."""
+        if self._eval_gather_fn is None:
+            from druglamp_tpu.train.steps import make_eval_scan_gather
+
+            self._eval_gather_fn = make_eval_scan_gather(
+                self.model, include_llm=self.device_data.include_llm,
+                emb_ordinals=self.device_data.emb_ordinals,
+                n_class=self.n_class)
+        from druglamp_tpu.data.device_data import eval_index_plan
+
+        tree = self.device_data.tree_for(loader.ds)
+        n = len(loader.ds)
+        idx, valid = eval_index_plan(n, loader.batch_size)
+        chunk = max(1, self.scan_chunk)
+        collector = MetricCollector()
+        losses = []
+        pending = []
+        for s in range(0, idx.shape[0], chunk):
+            probs, batch_losses = self._eval_gather_fn(
+                state.params, state.batch_stats, jnp.asarray(idx[s : s + chunk]),
+                jnp.asarray(valid[s : s + chunk]), tree, self.embed_store)
+            pending.append((probs, batch_losses, valid[s : s + chunk],
+                            idx[s : s + chunk]))
+        labels = loader.ds.labels
+        for probs, batch_losses, v, ix in pending:
+            mask = v.astype(bool)
+            collector.update(np.asarray(probs)[mask], labels[ix[mask]])
+            losses.extend(np.asarray(batch_losses).tolist())
+        m = collector.compute(full=full)
+        m["loss"] = float(np.mean(losses)) if losses else float("nan")
+        return m
+
     def fast_dev_run(self, example_batch, seed: int, n_batches: int = 10) -> Dict[str, float]:
         """Smoke path: n train batches + a val pass, no checkpoints/early stop
         (reference ExpModule.run_fast_development, trainer.py:137-139)."""
@@ -302,6 +394,8 @@ class Trainer:
         return {"train_losses": losses, **{f"val_{k}": v for k, v in val.items()}}
 
     def evaluate(self, state: TrainState, loader: BatchLoader, full: bool) -> Dict[str, float]:
+        if self.device_data is not None:
+            return self._evaluate_gather(state, loader, full)
         if self.scan_chunk > 1:
             return self._evaluate_scan(state, loader, full)
         collector = MetricCollector()

@@ -75,6 +75,19 @@ def test_bench_main_tier_list_matches_source():
     assert models == expect, (models, expect)
 
 
+def test_bench_e2e_dd_unsupported_fallback(tmp_path, monkeypatch):
+    """The device-data e2e tier degrades to (None, reason) when the ordinal
+    store is unavailable (zeros embeddings → dense-LLM batches), instead of
+    crashing bench.main()."""
+    from druglamp_tpu.config import Config
+
+    monkeypatch.setattr(bench, "CACHE_ROOT", str(tmp_path / "nope"))
+    monkeypatch.setattr(bench, "E2E_ROWS", 16)
+    pps, label = bench._measure_epoch_e2e(Config(), device_data=True)
+    assert pps is None
+    assert "unsupported" in label
+
+
 def test_bench_e2e_embedding_resolution(tmp_path, monkeypatch):
     """_e2e_embeddings falls back to zeros when no cache dir exists."""
     from druglamp_tpu.config import Config
