@@ -313,7 +313,8 @@ def main(argv=None) -> int:
         hyperparams={"model": args.model, "data": args.data, "split": args.split,
                      "seed": args.seed, "batch_size": bs,
                      "max_epoch": cfg.solver.max_epoch, "lr": cfg.solver.lr,
-                     "ssl": cfg.rs.ssl, "cm": cfg.rs.cm},
+                     "ssl": cfg.rs.ssl, "cm": cfg.rs.cm,
+                     "device_data": device_data is not None},
         use_comet=cfg.comet.use and not args.no_comet,
         comet_cfg={"project_name": cfg.comet.project_name,
                    "workspace": cfg.comet.workspace})

@@ -17,7 +17,6 @@ with an explicit epoch loop:
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from typing import Any, Dict, Optional
@@ -69,6 +68,10 @@ class Trainer:
         os.makedirs(self.work_dir, exist_ok=True)
         self.shard_fn = shard_fn or (lambda b: b)
         self.stacked_shard_fn = stacked_shard_fn or (lambda b: b)
+        # gather mode ships (S, B) index plans instead of batches; the same
+        # stacked placement (axis 1 over 'data') applies, pre-"_store" wrap
+        self._plan_shard_fn = stacked_shard_fn or (
+            lambda b: {k: jnp.asarray(v) for k, v in b.items()})
         # device-resident frozen-embedding store (data/device_store.py):
         # attached to every dispatched batch under "_store" (post-shard, so
         # the fuser/stacker never see it and it is never re-uploaded)
@@ -111,6 +114,13 @@ class Trainer:
         self.best_ausum = -np.inf
         self.best_epoch = -1
         self.ckpt = ocp.PyTreeCheckpointer()
+        # async checkpoint writes: the D2H pull stays synchronous (the state
+        # must be snapshotted before the next step mutates it), but the orbax
+        # disk write happens on a worker thread, overlapped with the next
+        # epoch.  Writes to the same tree are serialized by joining the
+        # previous one first; restore()/fit-exit join too.
+        self.async_ckpt = os.environ.get("DRUGLAMP_SYNC_CKPT", "0") != "1"
+        self._ckpt_thread = None
 
     # --- plumbing -----------------------------------------------------------
 
@@ -222,6 +232,7 @@ class Trainer:
                                           "best_epoch": self.best_epoch})
                 break
             release_host_memory()   # bound allocator free-list growth (~1 ms)
+        self._join_ckpt()   # the last async write must land before we return
         return state
 
     def _fit_epoch_loop(self, state, epoch, rng, compute_ssl, compute_cm,
@@ -320,8 +331,9 @@ class Trainer:
         cls_l, ssl_l, cm_l = [], [], []
         cm_w = jnp.float32(self.cm_weight)
         for s in range(0, n_steps, chunk):
-            out = epoch_fn(state, jnp.asarray(idx[s : s + chunk]),
-                           jnp.asarray(ones[s : s + chunk]), tree,
+            plan = self._plan_shard_fn({"idx": idx[s : s + chunk],
+                                        "valid": ones[s : s + chunk]})
+            out = epoch_fn(state, plan["idx"], plan["valid"], tree,
                            self.embed_store, rng, jnp.float32(lr_cls),
                            jnp.float32(lr_ssl), jnp.float32(lr_cm),
                            jnp.float32(margin), cm_w)
@@ -357,9 +369,11 @@ class Trainer:
         losses = []
         pending = []
         for s in range(0, idx.shape[0], chunk):
+            plan = self._plan_shard_fn({"idx": idx[s : s + chunk],
+                                        "valid": valid[s : s + chunk]})
             probs, batch_losses = self._eval_gather_fn(
-                state.params, state.batch_stats, jnp.asarray(idx[s : s + chunk]),
-                jnp.asarray(valid[s : s + chunk]), tree, self.embed_store)
+                state.params, state.batch_stats, plan["idx"],
+                plan["valid"], tree, self.embed_store)
             pending.append((probs, batch_losses, valid[s : s + chunk],
                             idx[s : s + chunk]))
         labels = loader.ds.labels
@@ -466,22 +480,37 @@ class Trainer:
     # --- checkpointing ------------------------------------------------------
 
     def _save(self, path: str, state: TrainState) -> None:
-        payload = {"state": dataclasses.asdict(state) if dataclasses.is_dataclass(state)
-                   else state,
-                   "host": {"cm_weight": self.cm_weight,
-                            "ssl_sched_steps": self.ssl_sched_steps,
-                            "cm_sched_steps": self.cm_sched_steps,
-                            "epoch": self.epoch,
-                            "epochs_no_improve": self.epochs_no_improve,
-                            "best_ausum": float(self.best_ausum),
-                            "best_epoch": self.best_epoch,
-                            "margin": self.margin_sched.state_dict()}}
-        self.ckpt.save(os.path.abspath(path),
-                       {"state": jax.tree.map(np.asarray, _as_dict(state)),
-                        "host": payload["host"]}, force=True)
+        host_meta = {"cm_weight": self.cm_weight,
+                     "ssl_sched_steps": self.ssl_sched_steps,
+                     "cm_sched_steps": self.cm_sched_steps,
+                     "epoch": self.epoch,
+                     "epochs_no_improve": self.epochs_no_improve,
+                     "best_ausum": float(self.best_ausum),
+                     "best_epoch": self.best_epoch,
+                     "margin": self.margin_sched.state_dict()}
+        # D2H snapshot must happen before the caller mutates state
+        payload = {"state": jax.tree.map(np.asarray, _as_dict(state)),
+                   "host": host_meta}
+        self._join_ckpt()
+        if not self.async_ckpt:
+            self.ckpt.save(os.path.abspath(path), payload, force=True)
+            return
+        import threading
+
+        t = threading.Thread(target=self.ckpt.save,
+                             args=(os.path.abspath(path), payload),
+                             kwargs={"force": True}, daemon=True)
+        t.start()
+        self._ckpt_thread = t
+
+    def _join_ckpt(self) -> None:
+        if self._ckpt_thread is not None:
+            self._ckpt_thread.join()
+            self._ckpt_thread = None
 
     def restore(self, path: str, like: TrainState,
                 load_host: bool = True) -> TrainState:
+        self._join_ckpt()   # a pending async write may target this path
         path = os.path.abspath(path)  # orbax/tensorstore rejects relative paths
         if not os.path.exists(path):
             return like
