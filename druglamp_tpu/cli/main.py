@@ -301,24 +301,6 @@ def main(argv=None) -> int:
         for ld in (train_loader, val_loader, test_loader):
             ld.cm_groups = bn_groups
 
-    # explicit --work-dir: keep ALL artifacts (incl. metrics.jsonl) under it
-    # rather than polluting results/ — scratch/verification runs must never
-    # masquerade as protocol result cells
-    log_root, log_name = ((os.path.dirname(work_dir) or ".",
-                           os.path.basename(work_dir))
-                          if args.work_dir else
-                          (cfg.result.output_dir, exp_name))
-    logger = ExperimentLogger(
-        log_root, log_name,
-        hyperparams={"model": args.model, "data": args.data, "split": args.split,
-                     "seed": args.seed, "batch_size": bs,
-                     "max_epoch": cfg.solver.max_epoch, "lr": cfg.solver.lr,
-                     "ssl": cfg.rs.ssl, "cm": cfg.rs.cm,
-                     "device_data": device_data is not None},
-        use_comet=cfg.comet.use and not args.no_comet,
-        comet_cfg={"project_name": cfg.comet.project_name,
-                   "workspace": cfg.comet.workspace})
-
     device_data = None
     if args.device_data == "on":
         from jax.sharding import NamedSharding, PartitionSpec
@@ -337,6 +319,24 @@ def main(argv=None) -> int:
             print("[info] --device-data on: unsupported loader config "
                   "(dense LLM batches or grouped CM); using host pipeline",
                   file=sys.stderr)
+
+    # explicit --work-dir: keep ALL artifacts (incl. metrics.jsonl) under it
+    # rather than polluting results/ — scratch/verification runs must never
+    # masquerade as protocol result cells
+    log_root, log_name = ((os.path.dirname(work_dir) or ".",
+                           os.path.basename(work_dir))
+                          if args.work_dir else
+                          (cfg.result.output_dir, exp_name))
+    logger = ExperimentLogger(
+        log_root, log_name,
+        hyperparams={"model": args.model, "data": args.data, "split": args.split,
+                     "seed": args.seed, "batch_size": bs,
+                     "max_epoch": cfg.solver.max_epoch, "lr": cfg.solver.lr,
+                     "ssl": cfg.rs.ssl, "cm": cfg.rs.cm,
+                     "device_data": device_data is not None},
+        use_comet=cfg.comet.use and not args.no_comet,
+        comet_cfg={"project_name": cfg.comet.project_name,
+                   "workspace": cfg.comet.workspace})
 
     trainer = Trainer(model, cfg, train_loader, val_loader, test_loader,
                       logger=logger, work_dir=work_dir,

@@ -326,7 +326,7 @@ class Trainer:
                                self.train_loader.batch_size)
         n_steps = idx.shape[0]
         ones = np.ones(idx.shape, np.float32)
-        chunk = max(1, self.scan_chunk)
+        chunk = self._dd_chunk(n_steps)
 
         cls_l, ssl_l, cm_l = [], [], []
         cm_w = jnp.float32(self.cm_weight)
@@ -348,6 +348,17 @@ class Trainer:
         cm_sum = float(np.sum([np.sum(np.asarray(x)) for x in cm_l]))
         return state, cls_sum, ssl_sum, cm_sum, n_steps
 
+    @staticmethod
+    def _dd_chunk(n_steps: int) -> int:
+        """Scan-chunk size in device-data mode: the WHOLE epoch by default
+        (one dispatch) — the per-chunk input is a tiny index plan, so the
+        stacked-chunk byte-cap rationale doesn't apply, and each extra
+        dispatch costs ~100 ms through a tunneled runtime.  DRUGLAMP_DD_CHUNK
+        overrides (chunking only changes dispatch granularity, never the
+        trajectory — rng/cm_weight thread through the scan carry)."""
+        override = int(os.environ.get("DRUGLAMP_DD_CHUNK", "0"))
+        return max(1, override) if override > 0 else max(1, n_steps)
+
     def _evaluate_gather(self, state: TrainState, loader: BatchLoader,
                          full: bool) -> Dict[str, float]:
         """Eval via the device-resident store: the whole pass ships only the
@@ -364,7 +375,7 @@ class Trainer:
         tree = self.device_data.tree_for(loader.ds)
         n = len(loader.ds)
         idx, valid = eval_index_plan(n, loader.batch_size)
-        chunk = max(1, self.scan_chunk)
+        chunk = self._dd_chunk(idx.shape[0])
         collector = MetricCollector()
         losses = []
         pending = []
