@@ -88,6 +88,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "when caches are missing (otherwise it refuses: "
                         "scoring an LLM-stream model on zeros records "
                         "meaningless metrics)")
+    p.add_argument("--config", type=str, default=None,
+                   help="path to a config YAML (default: the built-in "
+                        "configs/<model>.yaml) — same schema as the "
+                        "reference's configs")
     p.add_argument("--device-data", type=str,
                    default=os.environ.get("DRUGLAMP_DEVICE_DATA", "off"),
                    choices=["on", "off"],
@@ -184,7 +188,8 @@ def main(argv=None) -> int:
         overrides["solver.compute_dtype"] = args.compute_dtype
     if args.split in ("cluster", "Tcpi"):
         overrides["rs.task"] = True
-    cfg = load_config(builtin_config_path(args.model), overrides)
+    cfg = load_config(args.config or builtin_config_path(args.model),
+                      overrides)
 
     np.random.seed(cfg.solver.seed)
 

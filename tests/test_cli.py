@@ -232,6 +232,37 @@ def test_gen_embed_only_exits_before_training(tmp_path, monkeypatch, capsys):
     assert not (tmp_path / "work" / "metrics.jsonl").exists()
 
 
+@pytest.mark.slow
+def test_cli_train_tiny_device_data(tmp_path):
+    """Full cli.main training invocation (logger, store build, trainer,
+    test eval) at tiny --config shapes with --device-data on — locks the
+    whole flag wiring (a device_data-before-definition bug shipped once
+    because no fast test drove main() through the logger)."""
+    from druglamp_tpu.cli.main import main as cli_main
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(
+        "DRUG:\n  MAX_NODES: 64\n"
+        "PROTEIN:\n  SEQ_LEN: 288\n  SITE_LEN: 9\n"
+        "SOLVER:\n  BATCH_SIZE: 4\n  MAX_EPOCH: 1\n  LR: 1e-4\n"
+        "  SSL_LR: 3e-5\n  CM_LR: 1e-5\n  SEED: 1\n"
+        "RS:\n  SSL: False\n  CM: False\n"
+        "DECODER:\n  BINARY: 1\n")
+    rc = cli_main(["--model", "DrugLAMPwoLLM", "--data", "human",
+                   "--split", "random", "--seed", "1", "--cutoff", "16",
+                   "--config", str(cfg_path), "--device-data", "on",
+                   "--work-dir", str(tmp_path / "w"),
+                   "--data-root", "/root/reference/datasets"])
+    assert rc == 0
+    metrics = (tmp_path / "w" / "metrics.jsonl").read_text().splitlines()
+    assert any('"event": "done"' in l for l in metrics)
+    assert any('"device_data": true' in l for l in metrics)
+    # --work-dir runs must not create a results/ cell
+    import glob
+
+    assert not glob.glob("results/human-random-DrugLAMPwoLLM-seed1-*")
+
+
 def test_write_eval_record_artifact(tmp_path):
     """--eval-only must leave a results/ metrics.jsonl artifact (stdout-only
     eval records live in untracked logs/ and die with workspace resets)."""
