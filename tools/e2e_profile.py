@@ -149,6 +149,48 @@ def main() -> None:
           f"{max(t_full - t_asm - t_h2d - t_dev, 0.0)*1e3:.0f} ms",
           flush=True)
 
+    # --- 5. device-resident dataset (--device-data) -----------------------
+    from druglamp_tpu.data.device_data import (DeviceDataStore,
+                                               train_index_plan)
+    from druglamp_tpu.train.steps import make_epoch_step_gather
+
+    if not DeviceDataStore.supports(loader):
+        print("[e2e_profile] device-data: unsupported loader config; skipped",
+              flush=True)
+        return
+    dd = DeviceDataStore.build(ds.table, cfg.drug.max_nodes,
+                               cfg.protein.seq_len,
+                               include_llm=loader.include_llm,
+                               emb_ordinals=loader.emb_ordinals)
+    tree = dd.tree_for(ds)
+    gather_fn = make_epoch_step_gather(model, use_ssl=False, use_cm=False,
+                                       include_llm=loader.include_llm,
+                                       emb_ordinals=loader.emb_ordinals)
+
+    def dd_pass(ep, state, rng):
+        idx = train_index_plan(loader._order(ep), BATCH)
+        t0 = time.perf_counter()
+        out = gather_fn(state, jnp.asarray(idx),
+                        jnp.ones(idx.shape, jnp.float32), tree, store_tree,
+                        rng, *args)
+        float(np.asarray(out.cls_losses)[-1])   # D2H sync
+        return time.perf_counter() - t0, out.state, out.rng
+
+    state = TrainState.create(jax.tree.map(jnp.copy, variables),
+                              use_ssl=False, use_cm=False)
+    rng = jax.random.key(4)
+    _, state, rng = dd_pass(0, state, rng)      # warm/compile
+    t1, state, rng = dd_pass(1, state, rng)
+    times = []
+    for ep in (2, 3, 4):
+        t, state, rng = dd_pass(ep, state, rng)
+        times.append(t)
+    t_dd = sum(times) / len(times)
+    # two-point variant: one epoch's fixed dispatch+fetch cost cancels
+    print(f"[e2e_profile] device-data epoch: {t_dd*1e3:.0f} ms "
+          f"({n_pairs/max(t_dd,1e-9):.0f} pairs/s; one-dispatch epoch; "
+          f"single-epoch incl fixed costs {t1*1e3:.0f} ms)", flush=True)
+
 
 if __name__ == "__main__":
     main()
