@@ -142,6 +142,25 @@ def test_bench_measure_step_full_shapes():
     assert pps > 0
 
 
+def test_roofline_audit_tool():
+    """tools/roofline_audit.py's compiled-cost path on a tiny config."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "roofline_audit",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "roofline_audit.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.audit_compiled("DrugLAMP", False, False, batch_size=4,
+                             cfg=tiny_config(), n_drug_feature=24,
+                             n_prot_feature=40)
+    assert out["gflop_per_pair"] > 0
+    assert out["roofline_ms"] > 0
+    assert out["bound"] in ("flops", "bytes")
+
+
 def test_flop_audit_tool():
     """tools/flop_audit.py's lowering path on a tiny config (ship-unexercised
     guard; full-shape numbers live in BASELINE.md)."""
