@@ -275,6 +275,60 @@ def test_trainer_device_data_end_to_end(tmp_path):
         assert m_dev[k] == pytest.approx(m_host[k], abs=1e-5), k
 
 
+def test_gather_epoch_dp_matches_single_device(tmp_path):
+    """Gather-mode epoch under a DP mesh (index plan sharded on the sample
+    axis, stores replicated) reproduces the unsharded losses up to fp
+    reduction-order noise — the multichip placement the trainer uses via
+    MeshContext.shard_stacked_batch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from druglamp_tpu.data.encoding import decode_batch
+    from druglamp_tpu.parallel.mesh import MeshContext, make_mesh
+    from druglamp_tpu.train.steps import make_epoch_step_gather
+
+    cfg = tiny_config(solver=SolverConfig(compute_dtype="float32"),
+                      rs=RSConfig())
+    root = _make_csv_dataset(tmp_path)
+    ds = _dataset(root, cfg)
+    B = 8                                        # divisible by the data axis
+    loader = BatchLoader(ds, B, shuffle=True, drop_last=True, prefetch=0,
+                         include_llm=False, compact=True)
+    store = DeviceDataStore.build(ds.table, cfg.drug.max_nodes,
+                                  cfg.protein.seq_len,
+                                  include_llm=False, emb_ordinals=False)
+    tree = store.tree_for(ds)
+    model = build_model("DrugLAMPwoLLM", cfg, 24, 40)
+    ex = loader.first_batch()
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           decode_batch(jax.tree.map(jnp.asarray, ex)),
+                           jax.random.key(2), method="init_all")
+
+    idx = train_index_plan(loader._order(1), B)[:2]
+    ones = np.ones(idx.shape, np.float32)
+    epg = make_epoch_step_gather(model, use_ssl=False, use_cm=False,
+                                 include_llm=False, emb_ordinals=False)
+
+    def mkstate():
+        return TrainState.create(jax.tree.map(jnp.copy, variables),
+                                 use_ssl=False, use_cm=False)
+
+    args = (jnp.float32(1e-3), jnp.float32(3e-4), jnp.float32(1e-4),
+            jnp.float32(0.5), jnp.float32(1.0))
+    out1 = epg(mkstate(), jnp.asarray(idx), jnp.asarray(ones), tree, None,
+               jax.random.key(9), *args)
+
+    ctx = MeshContext(make_mesh(1))              # (data=8, model=1)
+    repl = NamedSharding(ctx.mesh, P())
+    tree_r = jax.device_put(tree, repl)
+    plan = ctx.shard_stacked_batch({"idx": idx, "valid": ones})
+    out8 = epg(ctx.shard_state(mkstate()), plan["idx"], plan["valid"],
+               tree_r, None, jax.random.key(9), *args)
+    np.testing.assert_allclose(np.asarray(out1.cls_losses),
+                               np.asarray(out8.cls_losses),
+                               rtol=5e-3, atol=1e-5)
+
+
 def test_supports_rejects_unsupported_loaders(tmp_path):
     cfg = tiny_config()
     root = _make_csv_dataset(tmp_path)
