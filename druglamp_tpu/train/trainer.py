@@ -499,18 +499,15 @@ class Trainer:
                      "best_ausum": float(self.best_ausum),
                      "best_epoch": self.best_epoch,
                      "margin": self.margin_sched.state_dict()}
-        # D2H snapshot must happen before the caller mutates state.  Start
-        # every leaf's copy asynchronously FIRST: a plain per-leaf np.asarray
-        # pays one full fetch round-trip per leaf (~130 ms tunneled × hundreds
-        # of param/optimizer leaves ≈ 40 s/save observed); overlapping the
-        # copies collapses that to ~one round-trip + transfer time.
-        tree = _as_dict(state)
-        for leaf in jax.tree.leaves(tree):
-            try:
-                leaf.copy_to_host_async()
-            except (AttributeError, NotImplementedError):
-                break
-        payload = {"state": jax.tree.map(np.asarray, tree),
+        # D2H snapshot must happen before the caller mutates state.  Fused
+        # single-buffer fetch: a plain per-leaf np.asarray pays one fetch
+        # round-trip per leaf (~130 ms tunneled × hundreds of leaves ≈ 40 s
+        # per save observed; overlapped async copies still ~7 s) —
+        # utils.fetch packs the whole state into one uint8 buffer on device
+        # and fetches it in a single transfer.
+        from druglamp_tpu.utils.fetch import device_fetch_tree
+
+        payload = {"state": device_fetch_tree(_as_dict(state)),
                    "host": host_meta}
         self._join_ckpt()
         if not self.async_ckpt:
