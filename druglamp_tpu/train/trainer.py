@@ -121,6 +121,14 @@ class Trainer:
         # previous one first; restore()/fit-exit join too.
         self.async_ckpt = os.environ.get("DRUGLAMP_SYNC_CKPT", "0") != "1"
         self._ckpt_thread = None
+        # best-state handling: a full-state D2H snapshot costs ~8 s through
+        # the tunneled link (138 MB at ~17 MB/s), and improvements cluster in
+        # early epochs — so the best state is kept as a DEVICE copy (HBM is
+        # cheap) and flushed to disk only at resume points (alongside
+        # ckpt_last, keeping on-disk best/last self-consistent), at early
+        # stop, and at fit end.
+        self._best_state = None
+        self._best_dirty = False
 
     # --- plumbing -----------------------------------------------------------
 
@@ -216,7 +224,9 @@ class Trainer:
                 self.best_epoch = epoch
                 epochs_no_improve = 0
                 self.epochs_no_improve = 0
-                self._save(best_path, state)
+                # device copy (~ms); disk flush deferred to resume points
+                self._best_state = jax.tree.map(jnp.copy, state)
+                self._best_dirty = True
             else:
                 epochs_no_improve += 1
                 self.epochs_no_improve = epochs_no_improve
@@ -225,6 +235,10 @@ class Trainer:
             stopping = epochs_no_improve >= self.patience or epoch == self.epochs
             if stopping or epoch % max(1, getattr(
                     self.cfg.solver, "ckpt_every", 1)) == 0:
+                if self._best_dirty:
+                    # keep on-disk best/last self-consistent at resume points
+                    self._save(best_path, self._best_state)
+                    self._best_dirty = False
                 self._save(last_path, state)
             if epochs_no_improve >= self.patience:
                 if self.logger:
@@ -232,6 +246,9 @@ class Trainer:
                                           "best_epoch": self.best_epoch})
                 break
             release_host_memory()   # bound allocator free-list growth (~1 ms)
+        if self._best_dirty:
+            self._save(best_path, self._best_state)
+            self._best_dirty = False
         self._join_ckpt()   # the last async write must land before we return
         return state
 
@@ -479,8 +496,11 @@ class Trainer:
             if self.logger:
                 self.logger.log_dict({"event": "resume", "from_epoch": self.epoch})
         state = self.fit(state, seed, start_epoch=start_epoch)
-        best = self.restore(os.path.join(self.work_dir, "ckpt_best"), state,
-                            load_host=False)
+        if self._best_state is not None:
+            best = self._best_state   # device copy — skip the disk round trip
+        else:
+            best = self.restore(os.path.join(self.work_dir, "ckpt_best"),
+                                state, load_host=False)
         test_metrics = self.evaluate(best, self.test_loader, full=True)
         if self.logger:
             self.logger.log_metrics({f"test_{k}": v for k, v in test_metrics.items()})
