@@ -129,6 +129,11 @@ class Trainer:
         # stop, and at fit end.
         self._best_state = None
         self._best_dirty = False
+        # one jitted program for the whole-state copy: eager per-leaf
+        # jnp.copy dispatches hundreds of tiny ops (~45 ms RPC each through
+        # the tunneled runtime ≈ 14 s/copy observed); a single jitted copy
+        # is one dispatch
+        self._copy_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
 
     # --- plumbing -----------------------------------------------------------
 
@@ -225,7 +230,7 @@ class Trainer:
                 epochs_no_improve = 0
                 self.epochs_no_improve = 0
                 # device copy (~ms); disk flush deferred to resume points
-                self._best_state = jax.tree.map(jnp.copy, state)
+                self._best_state = self._copy_state(state)
                 self._best_dirty = True
             else:
                 epochs_no_improve += 1
