@@ -10,9 +10,17 @@ AdamW — then eval both on the same held-out rows and compare AUROC/AUPRC.
 
 Protocol (reduced so the torch side fits a single CPU core):
   human/random train.csv rows[:TFT_TRAIN_ROWS], batch TFT_BS,
-  TFT_EPOCHS epochs, cls-only gates (the SSL mask RNG is framework-
-  incompatible by construction), pmma dropout 0, fp32, zero LLM
-  embeddings, cosine-warmup LR (train/schedule.py) applied identically.
+  TFT_EPOCHS epochs, pmma dropout 0, fp32, zero LLM embeddings,
+  cosine-warmup LR (train/schedule.py) applied identically.
+
+Gates (TFT_GATES):
+  cls  (default) — classification loss only.
+  ssl  — cls + the MLM/SimSiam SSL head firing EVERY epoch, with
+         framework-matched masking: the stochastic mlm_mask is replaced in
+         BOTH frameworks by the same deterministic mask (every 5th nonzero
+         position — the test_full_model_parity convention), and the torch
+         side applies per-loss AdamW exactly like train/steps.py per_loss
+         mode (both grads taken at the pre-step params, cls applied first).
 
 After 100+ optimizer steps the two trajectories are NOT bit-comparable
 (fp32 noise compounds chaotically); the claim under test is that both
@@ -38,7 +46,9 @@ TRAIN_ROWS = int(os.environ.get("TFT_TRAIN_ROWS", "128"))
 EVAL_ROWS = int(os.environ.get("TFT_EVAL_ROWS", "256"))
 EPOCHS = int(os.environ.get("TFT_EPOCHS", "8"))
 BS = int(os.environ.get("TFT_BS", "8"))
+GATES = os.environ.get("TFT_GATES", "cls")
 LR = 1e-4
+SSL_LR = 3e-5
 DATA_ROOT = os.environ.get("DRUGLAMP_DATA_ROOT", "/root/reference/datasets")
 
 
@@ -82,6 +92,27 @@ def main():
         cfg, pmma_dropout=0.0,
         solver=dataclasses.replace(cfg.solver, compute_dtype="float32"))
 
+    use_ssl = GATES == "ssl"
+    if use_ssl:
+        # framework-matched masking: replace the stochastic mlm_mask in the
+        # JAX model with the deterministic every-5th-nonzero mask (the
+        # test_full_model_parity convention); the torch mirror gets the
+        # numpy twin below
+        import druglamp_tpu.models.ssl as ssl_module
+
+        def det_mlm_mask_jax(seq, rng, **kw):
+            idx = jnp.arange(seq.shape[1])[None, :]
+            mask = (seq != 0) & (idx % 5 == 0)
+            labels = jnp.where(mask, seq, 0)
+            return jnp.where(mask, 26, seq), labels, mask
+
+        ssl_module.mlm_mask = det_mlm_mask_jax
+
+        def det_mask_np(vp):
+            mask = (vp != 0) & (np.arange(vp.shape[1])[None, :] % 5 == 0)
+            return (np.where(mask, 26, vp).astype(vp.dtype),
+                    np.where(mask, vp, 0))
+
     ltrain, ltest = build(cfg)
     model = build_model("DrugLAMP2C2P", cfg)
     ex = ltrain.first_batch(0)
@@ -89,42 +120,80 @@ def main():
                             "dropout": jax.random.key(1)},
                            jax.tree.map(jnp.asarray, ex), jax.random.key(2),
                            method="init_all")
-    state = TrainState.create(variables, use_ssl=False, use_cm=False)
-    step = make_train_step(model, use_ssl=False, use_cm=False)
+    state = TrainState.create(variables, use_ssl=use_ssl, use_cm=False)
+    step = make_train_step(model, use_ssl=use_ssl, use_cm=False)
     eval_step = make_eval_step(model)
 
     mirror = TorchDrugLAMP2C2P(jax.tree.map(np.asarray, variables["params"]),
                                cfg, 384, 640, track_running_stats=True)
-    opt = torch.optim.AdamW(mirror.parameters(), lr=LR, betas=(0.9, 0.999),
+    params_t = list(mirror.parameters())
+    opt = torch.optim.AdamW(params_t, lr=LR, betas=(0.9, 0.999),
                             eps=1e-8, weight_decay=0.01)
+    opt_ssl = torch.optim.AdamW(params_t, lr=SSL_LR, betas=(0.9, 0.999),
+                                eps=1e-8, weight_decay=0.01) if use_ssl else None
+
+    def grads_snapshot():
+        return [p.grad.clone() if p.grad is not None else None
+                for p in params_t]
+
+    def apply_with(optimizer, grads):
+        for p, g in zip(params_t, grads):
+            # per_loss semantics (train/steps.py): params outside a loss's
+            # graph get a ZERO gradient, not a skipped update
+            p.grad = g if g is not None else torch.zeros_like(p)
+        optimizer.step()
 
     warmup = max(1, int(EPOCHS * 0.2)) if EPOCHS > 1 else 0
     rng = jax.random.key(7)
     t0 = time.time()
     for ep in range(EPOCHS):
         lr = cosine_warmup_restarts_lr(ep, EPOCHS, LR, warmup_steps=warmup)
+        lr_ssl = cosine_warmup_restarts_lr(ep, EPOCHS, SSL_LR,
+                                           warmup_steps=warmup)
         for g in opt.param_groups:
             g["lr"] = lr
-        jl, tl = [], []
+        if opt_ssl is not None:
+            for g in opt_ssl.param_groups:
+                g["lr"] = lr_ssl
+        jl, tl, jsl, tsl = [], [], [], []
         for batch in ltrain.epoch(ep):
             rng, k = jax.random.split(rng)
             out = step(state, jax.tree.map(jnp.asarray, batch), k,
-                       jnp.float32(lr), jnp.float32(0.0), jnp.float32(0.0),
+                       jnp.float32(lr), jnp.float32(lr_ssl), jnp.float32(0.0),
                        jnp.float32(0.5), jnp.float32(1.0))
             state = out.state
             jl.append(float(out.cls_loss))
+            jsl.append(float(out.ssl_loss))
 
             mirror.train()
             bt = {kk: torch.tensor(np.ascontiguousarray(v))
                   for kk, v in batch.items() if kk not in ("cm", "valid")}
-            _, loss = bce(mirror(bt)["score"], bt["labels"])
-            opt.zero_grad()
-            loss.backward()
-            opt.step()
+            out_t = mirror(bt)
+            _, loss = bce(out_t["score"], bt["labels"])
+            if not use_ssl:
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+            else:
+                # both grads at the PRE-step params (one shared
+                # linearization, like the vjp in train/steps.py), then
+                # cls applied first, ssl second
+                ssl_loss = mirror.ssl_loss(bt, out_t, det_mask_np)
+                opt.zero_grad(set_to_none=True)
+                loss.backward(retain_graph=True)
+                g_cls = grads_snapshot()
+                opt.zero_grad(set_to_none=True)
+                ssl_loss.backward()
+                g_ssl = grads_snapshot()
+                apply_with(opt, g_cls)
+                apply_with(opt_ssl, g_ssl)
+                tsl.append(ssl_loss.item())
             tl.append(loss.item())
-        print(f"[tft] epoch {ep} lr={lr:.2e} jax_loss={np.mean(jl):.4f} "
-              f"torch_loss={np.mean(tl):.4f} ({time.time() - t0:.0f}s)",
-              flush=True)
+        msg = (f"[tft] epoch {ep} lr={lr:.2e} jax_loss={np.mean(jl):.4f} "
+               f"torch_loss={np.mean(tl):.4f}")
+        if use_ssl:
+            msg += (f" jax_ssl={np.mean(jsl):.4f} torch_ssl={np.mean(tsl):.4f}")
+        print(msg + f" ({time.time() - t0:.0f}s)", flush=True)
 
     # --- shared-row eval, each framework on its own BN running stats --------
     jp, tp, ys = [], [], []
@@ -145,7 +214,7 @@ def main():
     res = {
         "protocol": {"train_rows": TRAIN_ROWS, "eval_rows": int(len(ys)),
                      "epochs": EPOCHS, "batch": BS, "lr": LR,
-                     "gates": "cls-only", "dropout": 0.0,
+                     "gates": GATES, "dropout": 0.0,
                      "dtype": "float32", "embeddings": "zeros"},
         "jax_auroc": round(auroc(jp, ys), 4),
         "torch_auroc": round(auroc(tp, ys), 4),
