@@ -93,13 +93,16 @@ def build_argparser() -> argparse.ArgumentParser:
                         "configs/<model>.yaml) — same schema as the "
                         "reference's configs")
     p.add_argument("--device-data", type=str,
-                   default=os.environ.get("DRUGLAMP_DEVICE_DATA", "off"),
-                   choices=["on", "off"],
+                   default=os.environ.get("DRUGLAMP_DEVICE_DATA", "auto"),
+                   choices=["auto", "on", "off"],
                    help="upload the dataset's compact arrays to HBM once and "
                         "gather batches on device inside the jitted scan "
                         "(data/device_data.py); epochs then ship only int32 "
-                        "index arrays.  Default off (host pipeline); also "
-                        "settable via DRUGLAMP_DEVICE_DATA=on")
+                        "index arrays.  auto (default) enables it whenever "
+                        "the loader config supports it (compact batches, "
+                        "ungrouped CM, woLLM or ordinal embedding store) — "
+                        "real epochs then run at the pure step rate; also "
+                        "settable via DRUGLAMP_DEVICE_DATA=on|off")
     p.add_argument("--esm-ckpt", type=str, default=None,
                    help="local ESM-2 checkpoint (torch state_dict .pt or "
                         ".safetensors, HF- or fair-esm-named) used by "
@@ -307,7 +310,7 @@ def main(argv=None) -> int:
             ld.cm_groups = bn_groups
 
     device_data = None
-    if args.device_data == "on":
+    if args.device_data in ("auto", "on"):
         from jax.sharding import NamedSharding, PartitionSpec
 
         from druglamp_tpu.data.device_data import DeviceDataStore
@@ -320,7 +323,7 @@ def main(argv=None) -> int:
             print(f"[info] device-resident dataset: "
                   f"{device_data.nbytes() / 1e6:.0f} MB uploaded",
                   file=sys.stderr)
-        else:
+        elif args.device_data == "on":
             print("[info] --device-data on: unsupported loader config "
                   "(dense LLM batches or grouped CM); using host pipeline",
                   file=sys.stderr)
