@@ -77,21 +77,28 @@ def test_bench_main_tier_list_matches_source():
 
 def test_bench_e2e_dd_unsupported_fallback(tmp_path, monkeypatch):
     """The device-data e2e tier degrades to (None, reason) when the ordinal
-    store is unavailable (zeros embeddings → dense-LLM batches), instead of
+    store is unavailable (over HBM budget → dense-LLM batches), instead of
     crashing bench.main()."""
     from druglamp_tpu.config import Config
+    from druglamp_tpu.data.device_store import DeviceEmbeddingStore
 
     monkeypatch.setattr(bench, "CACHE_ROOT", str(tmp_path / "nope"))
     monkeypatch.setattr(bench, "E2E_ROWS", 16)
+    # simulate a dataset whose store exceeds the HBM budget
+    monkeypatch.setattr(DeviceEmbeddingStore, "build",
+                        classmethod(lambda cls, *a, **k: None))
     pps, label = bench._measure_epoch_e2e(Config(), device_data=True)
     assert pps is None
     assert "unsupported" in label
 
 
 def test_bench_e2e_embedding_resolution(tmp_path, monkeypatch):
-    """_e2e_embeddings falls back to zeros when no cache dir exists."""
+    """_e2e_embeddings without an on-disk cache still measures the
+    production ordinal-store transport (zero-filled store); plain dense
+    zeros only when the store exceeds the HBM budget."""
     from druglamp_tpu.config import Config
     from druglamp_tpu.data.cache import ZeroEmbeddings
+    from druglamp_tpu.data.device_store import DeviceEmbeddingStore
 
     monkeypatch.setattr(bench, "CACHE_ROOT", str(tmp_path / "nope"))
 
@@ -101,6 +108,12 @@ def test_bench_e2e_embedding_resolution(tmp_path, monkeypatch):
 
     emb, store, label = bench._e2e_embeddings(Config(), T())
     assert isinstance(emb, ZeroEmbeddings)
+    assert store is not None and label == "zero-store"
+    assert store.tree["drug_emb"].shape[0] == T.n_drug
+
+    monkeypatch.setattr(DeviceEmbeddingStore, "build",
+                        classmethod(lambda cls, *a, **k: None))
+    emb, store, label = bench._e2e_embeddings(Config(), T())
     assert store is None and label == "zeros"
 
 
