@@ -34,6 +34,50 @@ class ZeroEmbeddings:
         return np.zeros((0, self.n_prot_feature), np.float32)
 
 
+class TableZeroEmbeddings(ZeroEmbeddings):
+    """Zero-VALUED embeddings at the REAL per-entity token lengths.
+
+    For perf measurement without an on-disk cache (the ``zero-store`` bench
+    tier): throughput through the device store depends only on shapes and
+    gathers, not values, but all-zero LENGTHS (plain ZeroEmbeddings) make
+    every sequence fully masked — degenerate attention that can NaN-poison
+    the step.  Lengths here reproduce what the real embed pipeline writes
+    (encoders/embed_pipeline.py): drugs = SmilesTokenizer.encode length
+    (CLS + tokens + SEP, truncated), proteins = min(len, max_resis) + 2
+    (ESM BOS/EOS rows, reference handler/dataset.py:138-147)."""
+
+    def __init__(self, drug_lens: Dict[int, int], prot_lens: Dict[int, int],
+                 n_drug_feature: int = 384, n_prot_feature: int = 640):
+        super().__init__(n_drug_feature, n_prot_feature)
+        self._drug_lens = drug_lens
+        self._prot_lens = prot_lens
+
+    @classmethod
+    def from_table(cls, table, n_drug_feature: int = 384,
+                   n_prot_feature: int = 640, max_prot_resis: int = 1022,
+                   max_drug_tokens: int = 512) -> "TableZeroEmbeddings":
+        drug_lens: Dict[int, int] = {}
+        d2o = getattr(table, "drug2ord", None)
+        if d2o:
+            from druglamp_tpu.chem.tokenizer import SmilesTokenizer
+
+            tok = SmilesTokenizer()
+            drug_lens = {o: len(tok.encode(smi, max_length=max_drug_tokens))
+                         for smi, o in d2o.items()}
+        p2o = getattr(table, "prot2ord", None)
+        prot_lens = {o: min(len(seq), max_prot_resis) + 2
+                     for seq, o in p2o.items()} if p2o else {}
+        return cls(drug_lens, prot_lens, n_drug_feature, n_prot_feature)
+
+    def drug(self, ordinal: int) -> np.ndarray:
+        n = self._drug_lens.get(ordinal, 0)
+        return np.zeros((n, self.n_drug_feature), np.float32)
+
+    def prot(self, ordinal: int) -> np.ndarray:
+        n = self._prot_lens.get(ordinal, 0)
+        return np.zeros((n, self.n_prot_feature), np.float32)
+
+
 class EmbeddingCache:
     """Directory of per-entity .npy arrays, preloaded into RAM."""
 

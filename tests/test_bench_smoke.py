@@ -61,18 +61,38 @@ def test_bench_tier_constructs_and_steps(model_name, use_ssl, use_cm):
 
 
 def test_bench_main_tier_list_matches_source():
-    """bench.main() must only build tiers this suite exercises (the cls tier
-    is constructed twice — once for the per-dispatch diagnostic, once for
-    the scanned headline — so dedupe consecutive repeats)."""
+    """bench.main() must only build tiers this suite exercises (the bs64 and
+    per-dispatch extras reuse the cls-tier construction)."""
     import inspect
+    import re
 
     src = inspect.getsource(bench.main)
-    calls = [l.strip() for l in src.splitlines() if "make_tier(" in l]
-    models = [c.split('"')[1] for c in calls]
-    expect = [BENCH_TIERS[0][0], BENCH_TIERS[0][0],   # per-dispatch + scanned
+    models = re.findall(r'make_tier\(\s*"(\w+)"', src)
+    expect = [BENCH_TIERS[0][0],                      # scanned headline
               BENCH_TIERS[1][0], BENCH_TIERS[2][0],
-              BENCH_TIERS[0][0]]                      # bs64 capability tier
+              BENCH_TIERS[0][0], BENCH_TIERS[0][0]]   # bs64 + dispatch extras
     assert models == expect, (models, expect)
+
+
+def test_bench_result_json_schema():
+    """Both printed lines (partial headline + enriched final) must carry the
+    full schema with the driver-required keys, and skipped tiers as null."""
+    import json
+
+    line = bench._result_json(100.0, {}, ["pending"], 1.0, partial=True)
+    obj = json.loads(line)
+    for key in ("metric", "value", "unit", "vs_baseline", "mfu", "skipped",
+                "partial", "ssl_step_pairs_per_sec", "epoch_e2e_input"):
+        assert key in obj, key
+    assert obj["value"] == 100.0 and obj["partial"] is True
+    assert obj["ssl_step_pairs_per_sec"] is None
+
+    full = json.loads(bench._result_json(
+        100.0, {"ssl": 50.0, "full": 25.0, "e2e": (40.0, "zero-store"),
+                "e2e_dd": (60.0, "zero-store")}, [], 2.0, partial=False))
+    assert full["ssl_step_pairs_per_sec"] == 50.0
+    assert full["epoch_e2e_input"] == "zero-store"
+    assert full["partial"] is False and full["skipped"] == []
 
 
 def test_bench_e2e_dd_unsupported_fallback(tmp_path, monkeypatch):
@@ -105,11 +125,19 @@ def test_bench_e2e_embedding_resolution(tmp_path, monkeypatch):
     class T:
         n_drug = 2
         n_prot = 2
+        drug2ord = {"CCO": 0, "c1ccccc1N": 1}
+        prot2ord = {"MKV": 0, "A" * 2000: 1}
 
     emb, store, label = bench._e2e_embeddings(Config(), T())
     assert isinstance(emb, ZeroEmbeddings)
     assert store is not None and label == "zero-store"
     assert store.tree["drug_emb"].shape[0] == T.n_drug
+    # advisor r3: the zero store must carry REAL token lengths, not zeros —
+    # all-zero lengths mean fully-masked sequences (degenerate attention)
+    drug_len = np.asarray(store.tree["drug_len"])
+    prot_len = np.asarray(store.tree["prot_len"])
+    assert drug_len.tolist() == [5, 11]     # CLS + tokens + SEP
+    assert prot_len.tolist() == [5, 1024]   # min(len, 1022) + BOS/EOS
 
     monkeypatch.setattr(DeviceEmbeddingStore, "build",
                         classmethod(lambda cls, *a, **k: None))
