@@ -152,13 +152,26 @@ class Trainer:
             min_lr=1e-8, warmup_steps=int(self.epochs * 0.2))
 
     def init_state(self, example_batch, seed: int) -> TrainState:
+        """Initialize parameters in ONE jitted program.
+
+        Flax init is eager; through the tunneled runtime its per-op dispatch
+        (~100 ms/RPC) made full-shape init cost ~4 minutes per run (r4
+        probe).  Keys are ARGUMENTS (not baked constants) so the compiled
+        program is seed-independent — every seed of a sweep hits the same
+        persistent-cache entry; the embedding store is an argument for the
+        same reason (closed-over device arrays would bake into the program).
+        """
         from druglamp_tpu.data.encoding import decode_batch
 
-        example = decode_batch(jax.tree.map(jnp.asarray, example_batch),
-                               store=self.embed_store)
-        variables = self.model.init(
-            {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
-            example, jax.random.key(seed + 2), method="init_all")
+        def init_fn(b, store, k1, k2, k3):
+            example = decode_batch(dict(b), store=store)
+            return self.model.init({"params": k1, "dropout": k2}, example,
+                                   k3, method="init_all")
+
+        variables = jax.jit(init_fn)(
+            jax.tree.map(jnp.asarray, example_batch), self.embed_store,
+            jax.random.key(seed), jax.random.key(seed + 1),
+            jax.random.key(seed + 2))
         return TrainState.create(variables, self.use_ssl, self.use_cm)
 
     # --- fit / evaluate -----------------------------------------------------

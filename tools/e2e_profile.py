@@ -99,13 +99,14 @@ def main() -> None:
     # --- 3. device-only epoch scan on pre-staged chunks -------------------
     model = build_model("DrugLAMP", cfg)
     dev_chunks = [shard(c) for c in chunks]
-    ex_one = decode_batch(
-        jax.tree.map(lambda x: x[0],
-                     {k: v for k, v in dev_chunks[0].items() if k != "_store"}),
-        store=store_tree)
-    variables = model.init({"params": jax.random.key(0),
-                            "dropout": jax.random.key(1)},
-                           ex_one, jax.random.key(2), method="init_all")
+    def _init(b, store):
+        ex_one = decode_batch(jax.tree.map(lambda x: x[0], b), store=store)
+        return model.init({"params": jax.random.key(0),
+                           "dropout": jax.random.key(1)},
+                          ex_one, jax.random.key(2), method="init_all")
+
+    variables = jax.jit(_init)(
+        {k: v for k, v in dev_chunks[0].items() if k != "_store"}, store_tree)
     epoch_fn = make_epoch_step(model, use_ssl=False, use_cm=False)
     args = (jnp.float32(1e-4), jnp.float32(3e-5), jnp.float32(1e-5),
             jnp.float32(0.5), jnp.float32(1.0))

@@ -23,9 +23,9 @@ def bench(batch_size: int) -> float:
                                                  n_drug_feature=384,
                                                  n_prot_feature=640))
     model = build_model("DrugLAMP", cfg)
-    variables = model.init({"params": jax.random.key(0),
-                            "dropout": jax.random.key(1)},
-                           batch, jax.random.key(2), method="init_all")
+    variables = jax.jit(lambda b: model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        b, jax.random.key(2), method="init_all"))(batch)
     fwd = jax.jit(lambda v, b: model.apply(v, b, train=False)["score"])
     # two-point measurement: fixed dispatch/fetch costs cancel (see
     # druglamp_tpu.utils.profiling.device_time_ms)

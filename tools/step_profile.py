@@ -57,8 +57,9 @@ def main():
     batch = jax.tree.map(jnp.asarray, make_batch(cfg, BATCH, n_drug_feature=384,
                                                  n_prot_feature=640))
     model = build_model("DrugLAMP", cfg)
-    variables = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
-                           batch, jax.random.key(2), method="init_all")
+    variables = jax.jit(lambda b: model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        b, jax.random.key(2), method="init_all"))(batch)
     # deep-copy params into the state: the train step donates its buffers,
     # and `variables` must stay alive for the component timings below
     state = TrainState.create(jax.tree.map(jnp.copy, variables), False, False)
