@@ -111,6 +111,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="local ChemBERTa checkpoint (torch state_dict .pt "
                         "or .safetensors, HF-named) used by --gen-embed "
                         "instead of random init")
+    p.add_argument("--chemberta-tokenizer", type=str, default=None,
+                   help="directory with the checkpoint's HF tokenizer files "
+                        "(vocab.json+merges.txt or tokenizer.json); REQUIRED "
+                        "with --chemberta-ckpt — token ids must index that "
+                        "checkpoint's embedding rows")
     return p
 
 
@@ -246,7 +251,8 @@ def main(argv=None) -> int:
             embed_mesh = make_mesh(args.mesh_model) if args.mesh_model > 1 else None
             generate_embeddings(train_ds.table, cache, n_layer=args.n_layer,
                                 mesh=embed_mesh, esm_ckpt=args.esm_ckpt,
-                                chemberta_ckpt=args.chemberta_ckpt)
+                                chemberta_ckpt=args.chemberta_ckpt,
+                                chemberta_tokenizer=args.chemberta_tokenizer)
             # LLM-dim sidecar for reference-workflow familiarity
             # (handler/dataset.py:107-117 writes configs/{n}_layers_params.txt)
             sidecar = os.path.join(work_dir, f"{args.n_layer}_layers_params.txt")
@@ -382,7 +388,8 @@ def _eval_only(args, cfg, test_ds, work_dir, n_drug_feature, n_prot_feature) -> 
 
             generate_embeddings(test_ds.table, cache, n_layer=args.n_layer,
                                 esm_ckpt=args.esm_ckpt,
-                                chemberta_ckpt=args.chemberta_ckpt)
+                                chemberta_ckpt=args.chemberta_ckpt,
+                                chemberta_tokenizer=args.chemberta_tokenizer)
         have_all = (
             all(cache.has_drug(o) for o in range(test_ds.table.n_drug))
             and all(cache.has_prot(o) for o in range(test_ds.table.n_prot)))

@@ -104,6 +104,7 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
                         dtype=jnp.float32, mesh=None,
                         esm_ckpt: Optional[str] = None,
                         chemberta_ckpt: Optional[str] = None,
+                        chemberta_tokenizer: Optional[str] = None,
                         verbose: bool = True) -> None:
     """Populate ``cache`` with every missing entity embedding in ``table``.
 
@@ -114,7 +115,14 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
     ``esm_ckpt`` / ``chemberta_ckpt``: local checkpoint file paths
     (.pt/.safetensors, HF or fair-esm naming) converted via
     encoders/convert.py — the moment real pretrained weights are on disk,
-    one --gen-embed run produces real caches."""
+    one --gen-embed run produces real caches.
+
+    ``chemberta_tokenizer``: directory with the checkpoint's HF tokenizer
+    files (vocab.json+merges.txt or tokenizer.json).  REQUIRED with
+    ``chemberta_ckpt``: token ids must index that checkpoint's embedding
+    rows (reference handler/dataset.py:154-160); the built-in regex
+    tokenizer's self-assigned ids would silently produce garbage caches, so
+    a real checkpoint without its tokenizer fails loudly."""
     # --- proteins (ESM-2) ---------------------------------------------------
     esm_cfg = esm2_config_for_layers(n_layer)
     esm = ESM2(esm_cfg, dtype=dtype)
@@ -152,8 +160,15 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
     # --- drugs (ChemBERTa) --------------------------------------------------
     cb_cfg = chemberta_cfg or ChemBERTaConfig(hidden=cache.n_drug_feature)
     if tokenizer is None:
-        tokenizer = SmilesTokenizer()
-        tokenizer.extend_from_corpus(table.drug2ord.keys())
+        if chemberta_tokenizer:
+            # real checkpoints need their OWN tokenizer: ids must index the
+            # checkpoint's embedding rows (reference handler/dataset.py:154-160)
+            from druglamp_tpu.chem.hf_tokenizer import HFTokenizer
+
+            tokenizer = HFTokenizer(chemberta_tokenizer)
+        else:
+            tokenizer = SmilesTokenizer()
+            tokenizer.extend_from_corpus(table.drug2ord.keys())
     if tokenizer.vocab_size > cb_cfg.vocab:
         cb_cfg = ChemBERTaConfig(**{**cb_cfg.__dict__, "vocab": tokenizer.vocab_size})
     cb = ChemBERTa(cb_cfg, dtype=dtype)
@@ -171,13 +186,20 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
                   "random-initialized encoder weights", file=sys.stderr)
         chemberta_params = cb.init(jax.random.key(seed + 1),
                                    jnp.ones((1, 8), jnp.int32))["params"]
+    elif chemberta_ckpt:
+        # real weights: ids must index the checkpoint's embedding rows
+        from druglamp_tpu.chem.hf_tokenizer import check_vocab_alignment
+
+        check_vocab_alignment(tokenizer, chemberta_params)
     cb_apply = jax.jit(lambda p, t: cb.apply({"params": p}, t))
 
     todo_d = [(ordn, np.asarray(tokenizer.encode(smi, max_length=max_drug_tokens),
                                 np.int32))
               for smi, ordn in table.drug2ord.items() if not cache.has_drug(ordn)]
     n_done = 0
-    for ords, toks, lens in _batched(todo_d, batch, cb_cfg.pad_id):
+    for ords, toks, lens in _batched(todo_d, batch,
+                                     getattr(tokenizer, "pad_id",
+                                             cb_cfg.pad_id)):
         reps = np.asarray(cb_apply(chemberta_params, jnp.asarray(toks)), np.float32)
         for r, (ordn, ln) in enumerate(zip(ords, lens)):
             cache.put_drug(ordn, reps[r, :ln])
