@@ -23,14 +23,42 @@ def _lib_path() -> str:
     return os.path.join(here, "native", "libdruglamp_native.so")
 
 
+def _try_build(path: str) -> bool:
+    """Build libdruglamp_native.so on demand (make -C native).
+
+    The library shipped unbuilt in round 3, so the parity suite silently
+    skipped and the CLI fell back to the Python parser; building lazily at
+    first load (single translation unit, ~2 s) closes that gap wherever a
+    C++ toolchain exists.  Atomic: make writes the .so in one compiler
+    invocation; concurrent callers at worst both build the same output.
+    Disable with DRUGLAMP_NO_NATIVE_BUILD=1 (e.g. sandboxed CI)."""
+    if os.environ.get("DRUGLAMP_NO_NATIVE_BUILD", "0") == "1":
+        return False
+    import shutil
+    import subprocess
+
+    native_dir = os.path.dirname(path)
+    src = os.path.join(native_dir, "csrc", "druglamp_native.cc")
+    if not os.path.exists(src) or shutil.which("make") is None \
+            or shutil.which(os.environ.get("CXX", "g++")) is None:
+        return False
+    try:
+        r = subprocess.run(["make", "-C", native_dir], capture_output=True,
+                           timeout=120)
+        return r.returncode == 0 and os.path.exists(path)
+    except Exception:
+        return False
+
+
 def load_native():
-    """The native library or None if not built/loadable."""
+    """The native library or None if not built/loadable (builds on demand
+    when the sources and a C++ toolchain are present)."""
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = _lib_path()
-    if not os.path.exists(path):
+    if not os.path.exists(path) and not _try_build(path):
         return None
     try:
         lib = ctypes.CDLL(path)
