@@ -199,10 +199,22 @@ def _coerce(value: Any, target: Any) -> Any:
     return value
 
 
+# TPU-extra YAML section for Config's top-level fields (not in the reference
+# schema, which hardcodes hidden width 128; used by smoke-scale configs)
+_TOP_FIELD_MAP = {"N_HIDDEN": "n_hidden", "PMMA_DROPOUT": "pmma_dropout"}
+
+
 def merge_yaml_dict(cfg: Config, tree: Dict[str, Any]) -> Config:
     """Merge a reference-schema YAML dict (SOLVER/RS/... sections) into a Config."""
     updates: Dict[str, Any] = {}
     for section, payload in (tree or {}).items():
+        if section == "MODEL":
+            for key, value in (payload or {}).items():
+                if key not in _TOP_FIELD_MAP:
+                    raise KeyError(f"Unknown config key MODEL.{key}")
+                fname = _TOP_FIELD_MAP[key]
+                updates[fname] = _coerce(value, getattr(cfg, fname))
+            continue
         if section not in _SECTION_FIELD_MAP:
             raise KeyError(f"Unknown config section: {section!r}")
         attr, key_map = _SECTION_FIELD_MAP[section]
