@@ -81,7 +81,13 @@ train_cell() {  # train_cell <need-s> <model> <data> <split> <seed> [extra...]
     --model "$model" --data "$data" --split "$split" --seed "$seed" \
     --device-data on "$@"
   note "$tag rc=$? ; $(left)s left"
-  commit_results "Results: $tag (auto queue)"
+  # advisor r3: a deadline-killed run leaves a truncated metrics.jsonl —
+  # label it so aggregation can't mistake it for a completed seed
+  if have_cell "$model" "$data" "$split" "$seed"; then
+    commit_results "Results: $tag (auto queue)"
+  else
+    commit_results "Partial (deadline-killed): $tag (auto queue)"
+  fi
 }
 
 eval_cell() {  # eval_cell <model> <train-data-split-seed…> <eval-data> <eval-split>
@@ -108,10 +114,12 @@ for s in 40 41 42 43 44; do
 done
 
 # 2. 2C2P biosnap/cluster (--gen-embed is idempotent: only missing entities
-# are embedded, so every seed may carry it; first one pays the regen)
+# are embedded, so every seed may carry it; first one pays the regen).
+# Full MAX_EPOCH=100 protocol (advisor r3: a --max_epoch 60 cap also shrinks
+# early-stop patience 25→15, making the cell incomparable to the matrix);
+# the deadline watchdog bounds wall-clock instead.
 for s in 40 41 42 43 44; do
-  train_cell 1500 DrugLAMP2C2P biosnap cluster "$s" --gen-embed \
-    --max_epoch 60
+  train_cell 1500 DrugLAMP2C2P biosnap cluster "$s" --gen-embed
 done
 
 # 3. DrugLAMP biosnap/cluster
