@@ -451,3 +451,51 @@ def test_trainer_with_device_store(tmp_path):
     assert np.isfinite(m_s["auroc"])
     for k in ("auroc", "auprc", "acc"):
         assert m_s[k] == pytest.approx(m_h[k], abs=5e-3), k
+
+
+def test_flat_adamw_matches_optax_tree_adamw():
+    """The raveled-buffer AdamW (state.FlatAdamWState, a kernel-count
+    optimization for the latency-bound bs-16 step) must be elementwise
+    equivalent to the per-leaf optax chain it replaces."""
+    from druglamp_tpu.train.state import (apply_optimizer, init_flat_opt,
+                                          make_adamw_tx)
+
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 6)
+    params = {"a": {"w": jax.random.normal(ks[0], (5, 3)),
+                    "b": jax.random.normal(ks[1], (3,))},
+              "c": jax.random.normal(ks[2], (2, 2, 2))}
+    tree_state = make_adamw_tx().init(params)
+    flat_state = init_flat_opt(params)
+    p_tree, p_flat = params, params
+    for i in range(5):
+        g = jax.tree.map(
+            lambda p, k=ks[3 + i % 3], i=i: 0.1 * p + 0.01 * (i + 1)
+            * jax.random.normal(jax.random.fold_in(k, i), p.shape), p_tree)
+        p_tree, tree_state = apply_optimizer(tree_state, g, p_tree,
+                                             jnp.float32(1e-3))
+        p_flat, flat_state = apply_optimizer(flat_state, g, p_flat,
+                                             jnp.float32(1e-3))
+    for a, b in zip(jax.tree.leaves(p_tree), jax.tree.leaves(p_flat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_train_state_flat_opt_flag():
+    from druglamp_tpu.train.state import FlatAdamWState
+
+    cfg = tiny_config()
+    model = build_model("DrugLAMPwoLLM", cfg)
+    batch = make_batch(cfg, 4)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           batch, jax.random.key(2), method="init_all")
+    st = TrainState.create(variables, use_ssl=False, use_cm=False,
+                           flat_opt=True)
+    assert isinstance(st.opt_cls, FlatAdamWState)
+    # one full train step through the flat path runs and stays finite
+    step = make_train_step(model, use_ssl=False, use_cm=False)
+    out = step(st, batch, jax.random.key(3), jnp.float32(1e-4),
+               jnp.float32(3e-5), jnp.float32(1e-5), jnp.float32(0.5),
+               jnp.float32(1.0))
+    assert np.isfinite(float(out.cls_loss))
