@@ -1,8 +1,14 @@
 """Summarize experiment results from results/*/metrics.jsonl.
 
     python tools/summarize_results.py [results_dir]
+    python tools/summarize_results.py --table [results_dir]
 
-Prints one row per run: best val AUSum/epoch and final test metrics.
+Default: one row per run (best val AUSum/epoch, final test metrics).
+--table: the reference's 5-seed protocol view — mean ± std per
+(data, split, model) over completed seeds (markdown), mirroring how the
+reference reports scripts/*/*/*.sh sweeps (seeds 40-44).  Runs without a
+done/test event (deadline-killed partials) are excluded; seed counts are
+printed so an incomplete matrix is visible.
 """
 
 import glob
@@ -45,5 +51,53 @@ def summarize(results_dir: str = "results"):
     return rows
 
 
+def table(results_dir: str = "results"):
+    """Markdown mean±std per (data, split, model) over completed seeds."""
+    import statistics
+
+    cells = {}
+    for path in sorted(glob.glob(os.path.join(results_dir, "*", "metrics.jsonl"))):
+        name = os.path.basename(os.path.dirname(path))
+        if "-eval-" in name:
+            continue
+        hp, test = {}, {}
+        for line in open(path):
+            r = json.loads(line)
+            if r.get("event") == "hyperparams":
+                hp = r
+            if "test_auroc" in r:
+                test = r
+        # protocol runs only: full recipe (no --cutoff) with a test event
+        if not test or not hp or hp.get("cutoff"):
+            continue
+        key = (hp.get("data"), hp.get("split"), hp.get("model"))
+        seed = hp.get("seed")
+        # latest run wins per (cell, seed) — re-trains supersede
+        cells.setdefault(key, {})[seed] = test
+
+    print("| data | split | model | seeds | AUROC | AUPRC | F1 |")
+    print("|---|---|---|---|---|---|---|")
+    for (data, split, model), by_seed in sorted(cells.items()):
+        vals = {k: [t[k] for t in by_seed.values() if k in t]
+                for k in ("test_auroc", "test_auprc", "test_f1")}
+
+        def ms(k):
+            v = vals[k]
+            if not v:
+                return "—"
+            if len(v) == 1:
+                return f"{v[0]:.4f}"
+            return f"{statistics.mean(v):.4f} ± {statistics.stdev(v):.4f}"
+
+        seeds = ",".join(str(s) for s in sorted(by_seed))
+        print(f"| {data} | {split} | {model} | {seeds} | {ms('test_auroc')} "
+              f"| {ms('test_auprc')} | {ms('test_f1')} |")
+
+
 if __name__ == "__main__":
-    summarize(sys.argv[1] if len(sys.argv) > 1 else "results")
+    args = [a for a in sys.argv[1:] if a != "--table"]
+    root = args[0] if args else "results"
+    if "--table" in sys.argv[1:]:
+        table(root)
+    else:
+        summarize(root)
