@@ -37,7 +37,8 @@ from druglamp_tpu.encoders.esm2 import (ESM2, ESM_PAD, esm2_config_for_layers,
 # compilation is expensive (remote-compile TPU attachments) one bucket is the
 # right default — encoder FLOPs at these sizes are trivial next to a compile.
 # Set finer buckets (e.g. (128, 256, 512, 1032)) when compiles are cheap.
-_BUCKETS = (1032,)
+_BUCKETS = (1032,)        # ESM stage: 1022 residues + BOS/EOS, one program
+_DRUG_BUCKETS = (520,)    # ChemBERTa stage: 512 tokens incl. CLS/SEP
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -63,14 +64,15 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     return obj
 
 
-def _bucket(n: int) -> int:
-    for b in _BUCKETS:
+def _bucket(n: int, buckets: Optional[Tuple[int, ...]] = None) -> int:
+    for b in (_BUCKETS if buckets is None else buckets):
         if n <= b:
             return b
     return n
 
 
-def _batched(items: List[Tuple[int, np.ndarray]], batch: int, pad_id: int):
+def _batched(items: List[Tuple[int, np.ndarray]], batch: int, pad_id: int,
+             buckets: Optional[Tuple[int, ...]] = None):
     """Group (ordinal, ids) by length bucket, yield padded (ords, tokens).
 
     The batch dimension is ALWAYS padded to ``batch`` (tail rows replicate
@@ -78,10 +80,16 @@ def _batched(items: List[Tuple[int, np.ndarray]], batch: int, pad_id: int):
     them): a ragged tail chunk would otherwise compile a fresh program per
     (bucket, tail-size) — 10+ cold-compile minutes per new dataset through
     the tunneled runtime.  Encoder rows are batch-independent (LayerNorm
-    only), so duplicate pad rows cannot perturb real outputs."""
+    only), so duplicate pad rows cannot perturb real outputs.
+
+    ``pad_id`` must be the MODEL's pad id: ChemBERTa derives RoBERTa
+    position ids by counting non-pad tokens (encoders/chemberta.py), so
+    padding with any other id makes pad positions count as real tokens —
+    past ``max_positions`` the flax Embed take(mode='fill') fills NaN and
+    poisons the whole output (r4 incident: 1621/1621 all-NaN drug caches)."""
     by_bucket: Dict[int, List[Tuple[int, np.ndarray]]] = {}
     for ordn, ids in items:
-        by_bucket.setdefault(_bucket(len(ids)), []).append((ordn, ids))
+        by_bucket.setdefault(_bucket(len(ids), buckets), []).append((ordn, ids))
     for b, group in sorted(by_bucket.items()):
         for s in range(0, len(group), batch):
             chunk = group[s : s + batch]
@@ -151,6 +159,10 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
     n_done = 0
     for ords, toks, lens in _batched(todo, batch, ESM_PAD):
         reps = np.asarray(esm_apply(esm_params, jnp.asarray(toks)), np.float32)
+        if not np.isfinite(reps).all():
+            raise RuntimeError(
+                f"non-finite ESM embeddings for ordinals {ords} — refusing "
+                "to write a poisoned cache")
         for r, (ordn, ln) in enumerate(zip(ords, lens)):
             cache.put_prot(ordn, reps[r, :ln])
         n_done += len(ords)
@@ -171,6 +183,12 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
             tokenizer.extend_from_corpus(table.drug2ord.keys())
     if tokenizer.vocab_size > cb_cfg.vocab:
         cb_cfg = ChemBERTaConfig(**{**cb_cfg.__dict__, "vocab": tokenizer.vocab_size})
+    if getattr(tokenizer, "pad_id", cb_cfg.pad_id) != cb_cfg.pad_id \
+            and chemberta_tokenizer:
+        # a checkpoint tokenizer defines the model's pad id (RoBERTa: 1);
+        # the model derives position ids from it, so they must agree
+        cb_cfg = ChemBERTaConfig(**{**cb_cfg.__dict__,
+                                    "pad_id": tokenizer.pad_id})
     cb = ChemBERTa(cb_cfg, dtype=dtype)
     if chemberta_params is None and chemberta_ckpt:
         from druglamp_tpu.encoders.convert import chemberta_params_from_torch
@@ -197,10 +215,15 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
                                 np.int32))
               for smi, ordn in table.drug2ord.items() if not cache.has_drug(ordn)]
     n_done = 0
-    for ords, toks, lens in _batched(todo_d, batch,
-                                     getattr(tokenizer, "pad_id",
-                                             cb_cfg.pad_id)):
+    # pad with the MODEL's pad id (see _batched docstring; the tokenizer's
+    # own pad id is aligned into cb_cfg above when a real tokenizer is used)
+    for ords, toks, lens in _batched(todo_d, batch, cb_cfg.pad_id,
+                                     buckets=_DRUG_BUCKETS):
         reps = np.asarray(cb_apply(chemberta_params, jnp.asarray(toks)), np.float32)
+        if not np.isfinite(reps).all():
+            raise RuntimeError(
+                f"non-finite ChemBERTa embeddings for ordinals {ords} — "
+                "refusing to write a poisoned cache")
         for r, (ordn, ln) in enumerate(zip(ords, lens)):
             cache.put_drug(ordn, reps[r, :ln])
         n_done += len(ords)

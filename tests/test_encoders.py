@@ -118,6 +118,8 @@ def test_embed_pipeline_smoke(tmp_path):
     orig = esm2_mod._ESM2_SIZES
     try:
         embed_pipeline._BUCKETS = (16, 32, 64)
+        embed_pipeline._DRUG_BUCKETS = (16, 32, 64)
+        _orig_buckets = ((1032,), (520,))
         esm2_mod._ESM2_SIZES = {**orig, **cfg_small}
         from druglamp_tpu.encoders.chemberta import ChemBERTaConfig
 
@@ -129,6 +131,7 @@ def test_embed_pipeline_smoke(tmp_path):
             batch=2, verbose=False)
     finally:
         esm2_mod._ESM2_SIZES = orig
+        embed_pipeline._BUCKETS, embed_pipeline._DRUG_BUCKETS = _orig_buckets
 
     for i in range(3):
         emb = cache.drug(i)
@@ -356,3 +359,80 @@ def test_batched_pads_batch_dim_to_fixed_shape():
             assert (toks[r, :ln] == np.arange(1, 5 + o)).all()
     assert sorted(seen) == list(range(11))          # every item exactly once
     assert len(shapes) <= 2                         # one per length bucket
+
+
+def test_embed_pipeline_pad_id_and_finiteness_guard():
+    """Regression for the r4 all-NaN drug-cache incident: ChemBERTa derives
+    RoBERTa position ids by counting non-pad tokens, so padding a bucket
+    longer than max_positions with anything but the MODEL's pad id walks the
+    position embedding out of range — flax Embed's take(mode='fill') fills
+    NaN and poisons every row.  (a) the production pad (cfg.pad_id) stays
+    finite at an oversized bucket; (b) a wrong pad id goes non-finite,
+    exactly the state the pipeline's finiteness guard must refuse to cache.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from druglamp_tpu.encoders.chemberta import ChemBERTa, ChemBERTaConfig
+
+    cfg = ChemBERTaConfig(vocab=64, hidden=32, num_layers=1, num_heads=4,
+                          intermediate=32, max_positions=24)
+    cb = ChemBERTa(cfg, dtype=jnp.float32)
+    params = cb.init(jax.random.key(0), jnp.ones((1, 8), jnp.int32))["params"]
+    ids = np.array([2, 17, 23, 5, 3], np.int32)   # CLS-ish + tokens
+    L = 64  # bucket far beyond max_positions (the ESM-sized bucket case)
+
+    toks_ok = np.full((2, L), cfg.pad_id, np.int32)
+    toks_ok[:, : len(ids)] = ids
+    out_ok = np.asarray(cb.apply({"params": params}, jnp.asarray(toks_ok)))
+    assert np.isfinite(out_ok).all()
+
+    wrong_pad = 0 if cfg.pad_id != 0 else 3
+    toks_bad = np.full((2, L), wrong_pad, np.int32)
+    toks_bad[:, : len(ids)] = ids
+    out_bad = np.asarray(cb.apply({"params": params}, jnp.asarray(toks_bad)))
+    assert not np.isfinite(out_bad).all()  # the failure mode the guard stops
+
+
+def test_embed_pipeline_refuses_poisoned_cache(tmp_path, monkeypatch):
+    """generate_embeddings must raise, not silently cache, when an encoder
+    produces non-finite embeddings (r4 incident guard)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from druglamp_tpu.data.cache import EmbeddingCache
+    from druglamp_tpu.data.dataset import EntityTable, featurize_drug, featurize_prot
+    from druglamp_tpu.encoders import embed_pipeline
+    import druglamp_tpu.encoders.esm2 as esm2_mod
+
+    table = EntityTable()
+    table.drug2ord["CCO"] = 0
+    table.drugs[0] = featurize_drug("CCO", 0, 64)
+    table.prot2ord["MKTAYIAK"] = 0
+    table.prots[0] = featurize_prot("MKTAYIAK", 0, 1022, 288)
+    cache = EmbeddingCache(str(tmp_path), "toy", n_drug_feature=32,
+                           n_prot_feature=64)
+
+    from druglamp_tpu.encoders.chemberta import ChemBERTaConfig
+
+    small = {12: esm2_mod.ESM2Config(num_layers=1, embed_dim=64, num_heads=4,
+                                     ffn_dim=64)}
+    orig = esm2_mod._ESM2_SIZES
+    # poison the ESM forward: a jit-shaped apply that returns NaN
+    real_jit = embed_pipeline.jax.jit
+    monkeypatch.setattr(
+        embed_pipeline.jax, "jit",
+        lambda f: (lambda *a: real_jit(f)(*a) * jnp.nan))
+    try:
+        esm2_mod._ESM2_SIZES = {**orig, **small}
+        with pytest.raises(RuntimeError, match="non-finite"):
+            embed_pipeline.generate_embeddings(
+                table, cache, n_layer=12,
+                chemberta_cfg=ChemBERTaConfig(vocab=64, hidden=32,
+                                              num_layers=1, num_heads=4,
+                                              intermediate=32,
+                                              max_positions=64),
+                batch=1, verbose=False)
+    finally:
+        esm2_mod._ESM2_SIZES = orig
+    assert not cache.has_prot(0) and not cache.has_drug(0)
