@@ -29,6 +29,7 @@ variant) and is carried as a scalar in/out.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Dict, NamedTuple
 
 import jax
@@ -65,6 +66,31 @@ def _calibrate(cm_loss, cls_loss, w):
         return w
 
     return jax.lax.cond(cm_loss > 0, pos, lambda w: w, w)
+
+
+def _remat_wrap(losses_fn: Callable) -> Callable:
+    """Optionally rematerialize the loss forward (DRUGLAMP_REMAT env gate).
+
+    On a bytes-bound step (docs/PERFORMANCE.md roofline), trading FLOPs for
+    fewer saved activations is the canonical TPU lever (jax.checkpoint).
+    Modes:
+      - unset/'none': save-everything default (XLA decides).
+      - 'dots': save matmul outputs only, recompute elementwise chains
+        (jax.checkpoint_policies.checkpoint_dots) — cheap recompute, drops
+        the elementwise intermediates from HBM.
+      - 'full': save nothing but inputs; backward re-runs the forward.
+    Remat recomputes the SAME ops, so trajectories stay numerically
+    identical (tests/test_train.py::test_remat_step_matches_default).
+    """
+    mode = os.environ.get("DRUGLAMP_REMAT", "none").lower()
+    if mode in ("", "none", "0"):
+        return losses_fn
+    if mode == "dots":
+        return jax.checkpoint(
+            losses_fn, policy=jax.checkpoint_policies.checkpoint_dots)
+    if mode == "full":
+        return jax.checkpoint(losses_fn)
+    raise ValueError(f"DRUGLAMP_REMAT={mode!r}: expected none|dots|full")
 
 
 def _make_step_body(model, use_ssl: bool, use_cm: bool, calibrate: bool,
@@ -107,8 +133,8 @@ def _make_step_body(model, use_ssl: bool, use_cm: bool, calibrate: bool,
 
             return (cls_loss, ssl_loss, cm_raw), (stats, probs)
 
-        losses, vjp_fn, (new_stats, probs) = jax.vjp(losses_fn, state.params,
-                                                     has_aux=True)
+        losses, vjp_fn, (new_stats, probs) = jax.vjp(_remat_wrap(losses_fn),
+                                                     state.params, has_aux=True)
         cls_loss, ssl_loss, cm_raw = losses
 
         w = _calibrate(cm_raw, cls_loss, cm_weight) if calibrate else cm_weight

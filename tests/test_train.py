@@ -499,3 +499,71 @@ def test_train_state_flat_opt_flag():
                jnp.float32(3e-5), jnp.float32(1e-5), jnp.float32(0.5),
                jnp.float32(1.0))
     assert np.isfinite(float(out.cls_loss))
+
+
+def test_remat_step_matches_default(monkeypatch):
+    """DRUGLAMP_REMAT ∈ {dots, full} recomputes the SAME forward math in the
+    backward, so losses (forward) and gradients must match the default
+    save-everything mode (train/steps.py::_remat_wrap).
+
+    Compared at the loss/gradient level, not post-AdamW params: the forward
+    computes in bf16 and remat's recompute is re-fused by XLA, so grads
+    differ at bf16-ulp level — AdamW's v-normalizer amplifies that into
+    sign-flips of near-zero updates, making early-step param comparison
+    chaotic by construction."""
+    from druglamp_tpu.train.steps import StepOutput, _make_step_body
+
+    cfg = _tiny_training_cfg(ssl=True, cm=True)
+    model = build_model("DrugLAMP2C2P", cfg, 24, 40)
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, 4, n_drug_feature=24,
+                                                 n_prot_feature=40))
+    from druglamp_tpu.data.loader import build_cm_arrays
+
+    batch["cm"] = jax.tree.map(jnp.asarray, build_cm_arrays(
+        np.arange(4), np.arange(4), np.asarray(batch["labels"])))
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           batch, jax.random.key(2), method="init_all")
+
+    def run(mode):
+        if mode is None:
+            monkeypatch.delenv("DRUGLAMP_REMAT", raising=False)
+        else:
+            monkeypatch.setenv("DRUGLAMP_REMAT", mode)
+        state = TrainState.create(jax.tree.map(jnp.array, variables),
+                                  use_ssl=True, use_cm=True)
+        step = make_train_step(model, use_ssl=True, use_cm=True,
+                               calibrate=True)
+        out = step(state, batch, jax.random.key(3), jnp.float32(1e-3),
+                   jnp.float32(3e-4), jnp.float32(1e-4), jnp.float32(0.5),
+                   jnp.float32(1.0))
+        losses = (float(out.cls_loss), float(out.ssl_loss),
+                  float(out.cm_loss))
+        assert all(np.isfinite(v) for v in losses)
+        # post-1-step params as a gradient proxy at loose (bf16-ulp through
+        # AdamW) tolerance — sign/scale of every update must agree
+        return losses, jax.tree.map(np.asarray, out.state.params)
+
+    base_losses, base_params = run(None)
+    for mode in ("dots", "full"):
+        got_losses, got_params = run(mode)
+        # the primal losses agree to bf16-refusion tolerance (checkpoint
+        # changes the jaxpr, so XLA fuses even the forward differently)
+        np.testing.assert_allclose(got_losses, base_losses, rtol=1e-4,
+                                   atol=1e-6)
+        mismatched = total = 0
+        for a, b in zip(jax.tree.leaves(base_params),
+                        jax.tree.leaves(got_params)):
+            close = np.isclose(a, b, rtol=0.15, atol=5e-4)
+            mismatched += int((~close).sum())
+            total += int(close.size)
+        # allow isolated near-zero-gradient sign flips, nothing systematic
+        assert mismatched <= max(2, total // 2000), (mode, mismatched, total)
+
+
+def test_remat_bad_mode_raises(monkeypatch):
+    monkeypatch.setenv("DRUGLAMP_REMAT", "bogus")
+    from druglamp_tpu.train.steps import _remat_wrap
+
+    with np.testing.assert_raises(ValueError):
+        _remat_wrap(lambda p: p)
