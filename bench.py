@@ -16,13 +16,24 @@ XLA cache before printing anything — BENCH_r03.json rc=124, parsed=null):
   the moment it completes, with the remaining tiers still null and
   ``"partial": true``.
 - Every remaining tier is gated on a wall-clock budget
-  (``DRUGLAMP_BENCH_BUDGET_S``, default 540 s): a tier whose predicted cost
-  (scaled from the headline tier's measured cost, which already reflects
-  cold-vs-warm compile state) exceeds the remaining budget is skipped and
-  listed in the final line's ``"skipped"`` field.
-- A second, enriched JSON line prints at the end with everything that did
-  run (``"partial": false``).  Both lines carry the full schema, so a
-  line-oriented parser may take either.
+  (``DRUGLAMP_BENCH_BUDGET_S``, default 540 s).  Tier cost is estimated from
+  the headline's three separately-timed PHASES (setup / compile / execute):
+  compile estimates track the persistent-cache state, execute estimates
+  scale with each tier's audited FLOPs (r4 postmortem: scaling the WHOLE
+  headline cost — a 388 s driver cold compile included — predicted 466-622 s
+  for tiers whose warm cost is 30-90 s and skipped everything).  A tier that
+  doesn't fit runs its SALVAGE variant (fewer measurement reps / a shorter
+  e2e slice, reusing the same compiled programs) before being skipped; runs
+  in reduced form are listed in ``"salvaged"``, true skips in ``"skipped"``.
+- Tiers run in information-value order (ssl → e2e_dd → full → e2e) and an
+  updated partial JSON line prints as results land, so a killed run still
+  leaves the most valuable measurements in its tail.
+- The final enriched JSON line has ``"partial": false``.  Every line carries
+  the full schema, so a line-oriented parser may take the last line printed.
+- The persistent XLA compile cache lives INSIDE the repo workspace
+  (``<repo>/.jax_cache`` — utils/jaxsetup.default_cache_dir), so a cache
+  primed during the round survives home-dir wipes and the driver's headline
+  never pays the 388 s cold compile again.
 
 Tiers:
 
@@ -188,7 +199,7 @@ def _measure_step(step, state, batch, args, rng, iters: int = ITERS,
 
 def _measure_step_scanned(model, use_ssl, use_cm, state, batch, args, rng,
                           iters: int = SCAN_ITERS, reps: int = SCAN_REPS,
-                          batch_size: int = BATCH):
+                          batch_size: int = BATCH, timings: dict | None = None):
     """Device-bound throughput: SCAN_ITERS steps per dispatch
     (train.steps.make_repeat_step), timed over `reps` dispatches after one
     warm/compile dispatch.
@@ -210,8 +221,11 @@ def _measure_step_scanned(model, use_ssl, use_cm, state, batch, args, rng,
                               iters=iters)
     step0 = int(np.asarray(state.step))
     rng, k = jax.random.split(rng)
+    t_c = time.perf_counter()
     state, cls_l = repeat(state, batch, k, *args)    # warm: compiles
     float(np.asarray(cls_l)[-1])                     # sync via D2H
+    if timings is not None:                          # compile-vs-exec split
+        timings["compile_s"] = time.perf_counter() - t_c
 
     def run(n):
         nonlocal state, rng, cls_l
@@ -226,8 +240,11 @@ def _measure_step_scanned(model, use_ssl, use_cm, state, batch, args, rng,
 
     # two-point measurement: the D2H fetch roundtrip (~100-150 ms tunneled)
     # cancels in the difference
+    t_e = time.perf_counter()
     ta, tb = run(1), run(reps + 1)
     elapsed = tb - ta
+    if timings is not None:
+        timings["exec_s"] = time.perf_counter() - t_e
     # decisive execution proof: the optimizer step counter must have
     # advanced by exactly iters steps per dispatch
     total = 1 + 1 + (reps + 1)
@@ -284,7 +301,8 @@ def _e2e_embeddings(cfg, table):
     return ZeroEmbeddings(384, 640), None, "zeros"
 
 
-def _measure_epoch_e2e(cfg, device_data: bool = False):
+def _measure_epoch_e2e(cfg, device_data: bool = False,
+                       rows: int | None = None):
     """Wall-clock pairs/s for one epoch of the real pipeline (CSV → host
     featurization/assembly → compact → H2D → scan-driver train steps).
     Dataset featurization (one-time, amortized across a run) is excluded;
@@ -310,7 +328,8 @@ def _measure_epoch_e2e(cfg, device_data: bool = False):
         return None, None
     ds = DTIDataset(DATA_ROOT, "human", "random", "train.csv",
                     max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
-                    max_prot_resis=cfg.protein.max_resis, cutoff=E2E_ROWS)
+                    max_prot_resis=cfg.protein.max_resis,
+                    cutoff=rows or E2E_ROWS)
     embeddings, store, input_label = _e2e_embeddings(cfg, ds.table)
     loader = BatchLoader(ds, BATCH, shuffle=True, drop_last=True,
                          embeddings=embeddings, seed=0,
@@ -355,6 +374,10 @@ def _measure_epoch_e2e(cfg, device_data: bool = False):
             n += int(stacked["labels"].shape[0]) * BATCH
             out = epoch_fn(state, shard(stacked), rng, *args)
             state, rng = out.state, out.rng
+        if out is None:   # advisor r4: empty epoch (tiny dataset + drop_last)
+            raise RuntimeError(
+                f"e2e epoch produced no chunks (rows={rows or E2E_ROWS}, "
+                f"batch={BATCH}, drop_last) — dataset too small to measure")
         # D2H fetch = sync + proof of execution; finiteness guard so an
         # all-pad/NaN-poisoned epoch can never report a throughput
         last = float(np.asarray(out.cls_losses)[-1])
@@ -420,6 +443,10 @@ def _measure_epoch_e2e_device_data(cfg, ds, loader, store_tree, input_label):
                            jnp.asarray(ones[s : s + chunk]), tree,
                            store_tree, rng, *args)
             state, rng = out.state, out.rng
+        if out is None:   # advisor r4: empty epoch (dataset < one batch)
+            raise RuntimeError(
+                f"e2e-dd epoch produced no chunks ({idx.shape[0]} batches "
+                f"of {BATCH}) — dataset too small to measure")
         last = float(np.asarray(out.cls_losses)[-1])  # D2H sync + proof
         if not math.isfinite(last):
             raise RuntimeError(f"e2e-dd epoch non-finite loss: {last}")
@@ -429,8 +456,12 @@ def _measure_epoch_e2e_device_data(cfg, ds, loader, store_tree, input_label):
     return run_epoch(1), input_label
 
 
-def _result_json(cls_pps, tiers, skipped, elapsed_s, partial):
-    """One full-schema JSON line; unmeasured tiers are null."""
+def _result_json(cls_pps, tiers, skipped, elapsed_s, partial, salvaged=()):
+    """One full-schema JSON line; unmeasured tiers are null.
+
+    Numeric tier checks use ``is not None`` (advisor r4: a legitimate 0.0
+    must not be reported as null — even though 0.0 pairs/s can't really
+    occur, a falsy check is the wrong semantics)."""
     tflops = cls_pps * TRAIN_GFLOP_PER_PAIR / 1e3
     mfu = tflops / V5E_BF16_PEAK_TFLOPS
     if mfu > 1.0:
@@ -444,11 +475,13 @@ def _result_json(cls_pps, tiers, skipped, elapsed_s, partial):
 
     def _mfu(pps, gflop):
         return round(pps * gflop / 1e3 / V5E_BF16_PEAK_TFLOPS, 3) \
-            if pps else None
+            if pps is not None else None
 
     ssl_pps = tiers.get("ssl")
     full_pps = tiers.get("full")
     bs64_pps = tiers.get("bs64")
+    e2e = tiers.get("e2e")
+    e2e_dd = tiers.get("e2e_dd")
     return json.dumps({
         "metric": "train_pairs_per_sec_per_chip",
         "value": round(cls_pps, 2),
@@ -458,28 +491,35 @@ def _result_json(cls_pps, tiers, skipped, elapsed_s, partial):
                              round(cls_pps / A100_BASELINE_BAND[0], 2)],
         "tflops_per_sec": round(tflops, 1),
         "mfu": round(mfu, 3),
-        "ssl_step_pairs_per_sec": round(ssl_pps, 2) if ssl_pps else None,
+        "ssl_step_pairs_per_sec": round(ssl_pps, 2)
+        if ssl_pps is not None else None,
         "mfu_ssl": _mfu(ssl_pps, SSL_GFLOP_PER_PAIR),
-        "full_step_pairs_per_sec": round(full_pps, 2) if full_pps else None,
+        "full_step_pairs_per_sec": round(full_pps, 2)
+        if full_pps is not None else None,
         "mfu_full": _mfu(full_pps, FULL_GFLOP_PER_PAIR),
-        "cls_bs64_pairs_per_sec": round(bs64_pps, 2) if bs64_pps else None,
+        "cls_bs64_pairs_per_sec": round(bs64_pps, 2)
+        if bs64_pps is not None else None,
         "mfu_bs64": _mfu(bs64_pps, TRAIN_GFLOP_PER_PAIR),
         "per_dispatch_pairs_per_sec": round(tiers["dispatch"], 2)
-        if tiers.get("dispatch") else None,
+        if tiers.get("dispatch") is not None else None,
         "scan_iters": SCAN_ITERS,
-        "epoch_e2e_pairs_per_sec": round(tiers["e2e"][0], 2)
-        if tiers.get("e2e") and tiers["e2e"][0] else None,
-        "epoch_e2e_input": tiers["e2e"][1] if tiers.get("e2e") else None,
-        "epoch_e2e_dd_pairs_per_sec": round(tiers["e2e_dd"][0], 2)
-        if tiers.get("e2e_dd") and tiers["e2e_dd"][0] else None,
-        "epoch_e2e_dd_input": tiers["e2e_dd"][1] if tiers.get("e2e_dd")
-        else None,
+        "epoch_e2e_pairs_per_sec": round(e2e[0], 2)
+        if e2e is not None and e2e[0] is not None else None,
+        "epoch_e2e_input": e2e[1] if e2e is not None else None,
+        "epoch_e2e_dd_pairs_per_sec": round(e2e_dd[0], 2)
+        if e2e_dd is not None and e2e_dd[0] is not None else None,
+        "epoch_e2e_dd_input": e2e_dd[1] if e2e_dd is not None else None,
         "skipped": sorted(skipped),
+        "salvaged": sorted(salvaged),
         "elapsed_s": round(elapsed_s, 1),
         "budget_s": BUDGET_S,
         "partial": partial,
         "baseline_derivation": "BASELINE.md#a100-baseline-derivation",
     })
+
+
+SALVAGE_ROWS = 256       # e2e salvage slice; multiple of scan_chunk·batch so
+                         # the reduced run reuses the full run's compiled scan
 
 
 def main() -> None:
@@ -499,48 +539,116 @@ def main() -> None:
     cfg = Config()
 
     # ---- headline tier first: DrugLAMP cls step, scanned -------------------
+    # Three phases timed separately (r4 postmortem: the driver's cold
+    # headline took 388 s, and estimates that scaled the WHOLE headline cost
+    # — compile included — then predicted 466-622 s for tiers whose warm cost
+    # is 30-90 s, skipping everything):
+    #   setup_s    make_tier — batch build + jitted param init (compiles)
+    #   compile_s  first repeat-step dispatch (scan compile / cache load)
+    #   exec_s     the steady-state measurement itself
+    t0 = time.monotonic()
     _, state, batch, args, model = make_tier("DrugLAMP", use_ssl=False,
                                              use_cm=False, cfg=cfg)
+    setup_s = time.monotonic() - t0
+    tm: dict = {}
     cls_pps = _measure_step_scanned(model, False, False, state, batch, args,
-                                    jax.random.key(5))
-    headline_s = time.monotonic() - t_start   # includes this run's compile
-    tiers, skipped = {}, []
+                                    jax.random.key(5), timings=tm)
+    compile_s = tm.get("compile_s", 0.0)
+    exec_s = tm.get("exec_s", 0.0)
+    tiers, skipped, salvaged = {}, [], []
     print(_result_json(cls_pps, tiers, ["pending"],
                        time.monotonic() - t_start, partial=True), flush=True)
+    print(f"[bench] headline phases: setup {setup_s:.1f}s "
+          f"compile {compile_s:.1f}s exec {exec_s:.1f}s "
+          f"(left {left():.0f}s)", flush=True)
 
     # ---- remaining tiers, budget-gated --------------------------------------
-    # Cost estimates scale from the headline tier's own cost, which already
-    # reflects whether the persistent compile cache is warm or cold; the
-    # multiplier encodes each tier's relative compile+measure weight.
-    def gated(name, mult, fn):
-        est = headline_s * mult
-        if left() < est:
+    # Per-tier cost = setup·s_mult + compile·c_mult + exec·e_mult, estimated
+    # from the headline's measured PHASES: compile cost reflects the
+    # persistent-cache state (warm: seconds; cold: minutes), exec scales with
+    # the tier's audited FLOPs (tools/flop_audit.py), setup with program
+    # size.  A tier that doesn't fit tries its SALVAGE variant (reduced
+    # measurement reps / shorter e2e slice — same compiled programs) before
+    # being skipped.  Multipliers calibrated against the r4 warm/cold runs
+    # (docs/artifacts/bench_r4_{warm,coldcache}.log) + the r5 instrumented
+    # run (docs/artifacts/bench_r5_phases.log).
+    SAFETY = 1.2
+
+    def gated(name, est, fn, salvage_fn=None, salvage_est=None):
+        est *= SAFETY
+        if left() >= est:
+            run, is_salvage = fn, False
+        elif salvage_fn is not None and left() >= salvage_est * SAFETY:
+            run, is_salvage = salvage_fn, True
+        else:
             skipped.append(f"{name} (est {est:.0f}s > left {left():.0f}s)")
             return None
+        t0 = time.monotonic()
         try:
-            return fn()
+            out = run()
         except Exception as e:   # a bad tier env must not kill the artifact
             print(f"[bench] {name} failed: {e!r}", flush=True)
             skipped.append(f"{name} (error)")
             return None
+        if is_salvage:
+            salvaged.append(name)
+        print(f"[bench] tier {name}{' (salvage)' if is_salvage else ''} "
+              f"took {time.monotonic() - t0:.1f}s", flush=True)
+        return out
 
-    def ssl_tier():
-        _, state, batch, args, model = make_tier("DrugLAMP", use_ssl=True,
-                                                 use_cm=False, cfg=cfg)
-        return _measure_step_scanned(model, True, False, state, batch, args,
-                                     jax.random.key(5))
+    def step_tier(model_name, use_ssl, use_cm, reps=SCAN_REPS):
+        _, state, batch, args, model = make_tier(model_name, use_ssl=use_ssl,
+                                                 use_cm=use_cm, cfg=cfg)
+        return _measure_step_scanned(model, use_ssl, use_cm, state, batch,
+                                     args, jax.random.key(5), reps=reps)
 
-    def full_tier():
-        _, state, batch, args, model = make_tier("DrugLAMP2C2P", use_ssl=True,
-                                                 use_cm=True, cfg=cfg)
-        return _measure_step_scanned(model, True, True, state, batch, args,
-                                     jax.random.key(5))
+    def ssl_tier(reps=SCAN_REPS):
+        return step_tier("DrugLAMP", True, False, reps=reps)
 
-    tiers["ssl"] = gated("ssl", 1.2, ssl_tier)
-    tiers["full"] = gated("full", 1.6, full_tier)
-    tiers["e2e"] = gated("e2e", 1.5, lambda: _measure_epoch_e2e(cfg))
+    def full_tier(reps=SCAN_REPS):
+        return step_tier("DrugLAMP2C2P", True, True, reps=reps)
+
+    # exec multipliers = audited per-pair FLOP ratios vs the cls tier
+    ssl_x = SSL_GFLOP_PER_PAIR / TRAIN_GFLOP_PER_PAIR     # ≈ 2.16
+    full_x = FULL_GFLOP_PER_PAIR / TRAIN_GFLOP_PER_PAIR   # ≈ 3.0
+    est_ssl = setup_s * 1.3 + compile_s * 1.5 + exec_s * ssl_x
+    est_full = setup_s * 1.5 + compile_s * 2.0 + exec_s * full_x
+    # salvage: same compiled scan, reps=1 → exec ≈ 4/7 of the full 7-dispatch
+    # measurement (warm + 1 + reps+1); compile/setup are irreducible
+    sal_ssl = setup_s * 1.3 + compile_s * 1.5 + exec_s * ssl_x * 0.6
+    sal_full = setup_s * 1.5 + compile_s * 2.0 + exec_s * full_x * 0.6
+    # e2e: dataset featurization (rows-proportional host work) + store build
+    # + init/epoch-scan compile + 2 measured epochs.  The featurize+epoch
+    # part is rows-proportional; compile tracks the headline's compile state.
+    feat_unit = 25.0 * E2E_ROWS / 1024.0    # r4: ~25 s feat+epochs @1024 rows
+    est_e2e = setup_s * 0.8 + compile_s * 1.4 + feat_unit
+    est_e2e_dd = setup_s * 0.8 + compile_s * 1.2 + feat_unit
+    sal_frac = SALVAGE_ROWS / E2E_ROWS
+    sal_e2e = setup_s * 0.8 + compile_s * 1.4 + feat_unit * sal_frac
+    sal_e2e_dd = setup_s * 0.8 + compile_s * 1.2 + feat_unit * sal_frac
+
+    # tier order = information value (VERDICT r4 #1): the ssl/full step MFUs
+    # and the dd epoch rate have never appeared in a driver artifact; the
+    # host-pipeline e2e is their least novel A/B partner, so it goes last.
+    tiers["ssl"] = gated("ssl", est_ssl, ssl_tier,
+                         lambda: ssl_tier(reps=1), sal_ssl)
+    _after_ssl = _result_json(cls_pps, tiers, skipped + ["pending"],
+                              time.monotonic() - t_start, partial=True,
+                              salvaged=salvaged)
+    print(_after_ssl, flush=True)
     tiers["e2e_dd"] = gated(
-        "e2e_dd", 1.0, lambda: _measure_epoch_e2e(cfg, device_data=True))
+        "e2e_dd", est_e2e_dd,
+        lambda: _measure_epoch_e2e(cfg, device_data=True),
+        lambda: _measure_epoch_e2e(cfg, device_data=True, rows=SALVAGE_ROWS),
+        sal_e2e_dd)
+    tiers["full"] = gated("full", est_full, full_tier,
+                          lambda: full_tier(reps=1), sal_full)
+    print(_result_json(cls_pps, tiers, skipped + ["pending"],
+                       time.monotonic() - t_start, partial=True,
+                       salvaged=salvaged), flush=True)
+    tiers["e2e"] = gated("e2e", est_e2e, lambda: _measure_epoch_e2e(cfg),
+                         lambda: _measure_epoch_e2e(cfg, rows=SALVAGE_ROWS),
+                         sal_e2e)
 
     if EXTRA_TIERS:
         def bs64_tier():
@@ -557,11 +665,13 @@ def main() -> None:
                                                     use_cm=False, cfg=cfg)
             return _measure_step(step, state, batch, args, jax.random.key(3))
 
-        tiers["bs64"] = gated("bs64", 0.8, bs64_tier)
-        tiers["dispatch"] = gated("dispatch", 0.6, dispatch_tier)
+        tiers["bs64"] = gated("bs64", setup_s + compile_s * 2 + exec_s, bs64_tier)
+        tiers["dispatch"] = gated("dispatch", setup_s + exec_s * 3,
+                                  dispatch_tier)
 
     print(_result_json(cls_pps, tiers, skipped,
-                       time.monotonic() - t_start, partial=False), flush=True)
+                       time.monotonic() - t_start, partial=False,
+                       salvaged=salvaged), flush=True)
 
 
 if __name__ == "__main__":

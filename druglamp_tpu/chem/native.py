@@ -29,25 +29,47 @@ def _try_build(path: str) -> bool:
     The library shipped unbuilt in round 3, so the parity suite silently
     skipped and the CLI fell back to the Python parser; building lazily at
     first load (single translation unit, ~2 s) closes that gap wherever a
-    C++ toolchain exists.  Atomic: make writes the .so in one compiler
-    invocation; concurrent callers at worst both build the same output.
-    Disable with DRUGLAMP_NO_NATIVE_BUILD=1 (e.g. sandboxed CI)."""
+    C++ toolchain exists.  Truly atomic (advisor r4: the compiler writes the
+    .so in place non-atomically, so a concurrent first-load could dlopen a
+    partially written library): the build is serialized by an flock on the
+    native dir AND compiles to a pid-suffixed temp name that is os.rename()d
+    — atomic within a filesystem — into place.  Disable with
+    DRUGLAMP_NO_NATIVE_BUILD=1 (e.g. sandboxed CI)."""
     if os.environ.get("DRUGLAMP_NO_NATIVE_BUILD", "0") == "1":
         return False
+    import fcntl
     import shutil
     import subprocess
+    import sys
 
     native_dir = os.path.dirname(path)
     src = os.path.join(native_dir, "csrc", "druglamp_native.cc")
     if not os.path.exists(src) or shutil.which("make") is None \
             or shutil.which(os.environ.get("CXX", "g++")) is None:
         return False
+    tmp_name = f"{os.path.basename(path)}.tmp.{os.getpid()}"
+    tmp_path = os.path.join(native_dir, tmp_name)
     try:
-        r = subprocess.run(["make", "-C", native_dir], capture_output=True,
-                           timeout=120)
-        return r.returncode == 0 and os.path.exists(path)
+        with open(os.path.join(native_dir, ".build.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)   # released on close
+            if os.path.exists(path):            # another process built it
+                return True
+            print("[druglamp] building native runtime (make -C native, "
+                  "first import only)...", file=sys.stderr, flush=True)
+            r = subprocess.run(["make", "-C", native_dir, f"LIB={tmp_name}"],
+                               capture_output=True, timeout=120)
+            if r.returncode != 0 or not os.path.exists(tmp_path):
+                return False
+            os.rename(tmp_path, path)
+            return True
     except Exception:
         return False
+    finally:
+        try:
+            if os.path.exists(tmp_path):
+                os.unlink(tmp_path)
+        except OSError:
+            pass
 
 
 def load_native():

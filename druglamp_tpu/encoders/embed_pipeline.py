@@ -171,6 +171,11 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
 
     # --- drugs (ChemBERTa) --------------------------------------------------
     cb_cfg = chemberta_cfg or ChemBERTaConfig(hidden=cache.n_drug_feature)
+    # real (non-random-init) weights can arrive two ways — a ckpt path OR
+    # pre-loaded params from the caller; BOTH must pass the tokenizer
+    # alignment guard (advisor r4: the ckpt-branch-only gate let pre-loaded
+    # params + the default regex tokenizer write silent-garbage caches)
+    cb_params_provided = chemberta_params is not None or bool(chemberta_ckpt)
     if tokenizer is None:
         if chemberta_tokenizer:
             # real checkpoints need their OWN tokenizer: ids must index the
@@ -183,10 +188,16 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
             tokenizer.extend_from_corpus(table.drug2ord.keys())
     if tokenizer.vocab_size > cb_cfg.vocab:
         cb_cfg = ChemBERTaConfig(**{**cb_cfg.__dict__, "vocab": tokenizer.vocab_size})
+    from druglamp_tpu.chem.hf_tokenizer import HFTokenizer
+
     if getattr(tokenizer, "pad_id", cb_cfg.pad_id) != cb_cfg.pad_id \
-            and chemberta_tokenizer:
+            and isinstance(tokenizer, HFTokenizer):
         # a checkpoint tokenizer defines the model's pad id (RoBERTa: 1);
-        # the model derives position ids from it, so they must agree
+        # the model derives position ids from it, so they must agree.
+        # Keyed on the tokenizer OBJECT, not the --chemberta-tokenizer path
+        # arg, so a caller-constructed HFTokenizer aligns too (advisor r4);
+        # the built-in regex tokenizer keeps cb_cfg's pad id (its random-init
+        # caches are reproducible artifacts keyed on that choice).
         cb_cfg = ChemBERTaConfig(**{**cb_cfg.__dict__,
                                     "pad_id": tokenizer.pad_id})
     cb = ChemBERTa(cb_cfg, dtype=dtype)
@@ -204,8 +215,9 @@ def generate_embeddings(table, cache: EmbeddingCache, n_layer: int = 30,
                   "random-initialized encoder weights", file=sys.stderr)
         chemberta_params = cb.init(jax.random.key(seed + 1),
                                    jnp.ones((1, 8), jnp.int32))["params"]
-    elif chemberta_ckpt:
-        # real weights: ids must index the checkpoint's embedding rows
+    if cb_params_provided:
+        # real weights (ckpt path OR pre-loaded params): ids must index the
+        # checkpoint's embedding rows
         from druglamp_tpu.chem.hf_tokenizer import check_vocab_alignment
 
         check_vocab_alignment(tokenizer, chemberta_params)

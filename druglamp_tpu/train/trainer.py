@@ -17,6 +17,7 @@ with an explicit epoch loop:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Any, Dict, Optional
@@ -597,8 +598,32 @@ def _as_dict(state: TrainState) -> Dict[str, Any]:
 
 
 def _restore_like(template, tree):
+    """Rebuild `template`'s optimizer-state pytree from a restored orbax tree,
+    matching structured nodes by field NAME, not position.
+
+    Orbax's PyTreeCheckpointer restores dataclasses/NamedTuples as plain
+    dicts whose leaves flatten sorted-by-key; a positional unflatten against
+    the template silently permutes fields whenever declaration order differs
+    from alphabetical (FlatAdamWState is (m, v, count) — every leaf
+    broadcasts against the others, so the corruption produced no shape
+    error; advisor r4 finding).  optax's ScaleByAdamState only survived the
+    old positional path because its fields happen to be alphabetical."""
     if template is None or tree is None:
         return template
-    leaves = jax.tree.leaves(tree)
-    treedef = jax.tree.structure(template)
-    return jax.tree.unflatten(treedef, leaves)
+    if isinstance(tree, dict):
+        if dataclasses.is_dataclass(template):        # flax.struct states
+            return type(template)(**{
+                f.name: _restore_like(getattr(template, f.name), tree[f.name])
+                for f in dataclasses.fields(template)})
+        if hasattr(template, "_fields"):              # optax NamedTuple states
+            return type(template)(**{
+                name: _restore_like(getattr(template, name), tree[name])
+                for name in template._fields})
+        return {k: _restore_like(v, tree[k]) for k, v in template.items()}
+    if isinstance(template, (list, tuple)) and isinstance(tree, (list, tuple)):
+        if hasattr(template, "_fields"):              # NamedTuple saved as list
+            return type(template)(*(
+                _restore_like(t, s) for t, s in zip(template, tree)))
+        return type(template)(
+            _restore_like(t, s) for t, s in zip(template, tree))
+    return jnp.asarray(tree)

@@ -69,9 +69,12 @@ def test_bench_main_tier_list_matches_source():
     src = inspect.getsource(bench.main)
     models = re.findall(r'make_tier\(\s*"(\w+)"', src)
     expect = [BENCH_TIERS[0][0],                      # scanned headline
-              BENCH_TIERS[1][0], BENCH_TIERS[2][0],
               BENCH_TIERS[0][0], BENCH_TIERS[0][0]]   # bs64 + dispatch extras
     assert models == expect, (models, expect)
+    # ssl/full tiers go through step_tier with literal (model, ssl, cm) args
+    gates = re.findall(r'step_tier\(\s*"(\w+)",\s*(\w+),\s*(\w+)', src)
+    assert gates == [("DrugLAMP", "True", "False"),
+                     ("DrugLAMP2C2P", "True", "True")], gates
 
 
 def test_bench_result_json_schema():

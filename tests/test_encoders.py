@@ -436,3 +436,44 @@ def test_embed_pipeline_refuses_poisoned_cache(tmp_path, monkeypatch):
     finally:
         esm2_mod._ESM2_SIZES = orig
     assert not cache.has_prot(0) and not cache.has_drug(0)
+
+
+def test_embed_pipeline_preloaded_params_hit_alignment_guard(tmp_path):
+    """Advisor r4: PRE-LOADED real chemberta_params (no ckpt path) with the
+    default regex tokenizer must hit the same silent-garbage guard as the
+    --chemberta-ckpt branch — the regex tokenizer's self-assigned ids never
+    index a real checkpoint's embedding rows."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from druglamp_tpu.data.cache import EmbeddingCache
+    from druglamp_tpu.data.dataset import EntityTable, featurize_drug, featurize_prot
+    from druglamp_tpu.encoders import embed_pipeline
+    from druglamp_tpu.encoders.chemberta import ChemBERTa, ChemBERTaConfig
+    import druglamp_tpu.encoders.esm2 as esm2_mod
+
+    table = EntityTable()
+    table.drug2ord["CCO"] = 0
+    table.drugs[0] = featurize_drug("CCO", 0, 64)
+    table.prot2ord["MKTAYIAK"] = 0
+    table.prots[0] = featurize_prot("MKTAYIAK", 0, 1022, 288)
+    cache = EmbeddingCache(str(tmp_path), "toy", n_drug_feature=32,
+                           n_prot_feature=64)
+    cb_cfg = ChemBERTaConfig(vocab=64, hidden=32, num_layers=1, num_heads=4,
+                             intermediate=32, max_positions=64)
+    cb_params = ChemBERTa(cb_cfg).init(
+        jax.random.key(0), jnp.ones((1, 4), jnp.int32))["params"]
+
+    small = {12: esm2_mod.ESM2Config(num_layers=1, embed_dim=64, num_heads=4,
+                                     ffn_dim=64)}
+    orig = esm2_mod._ESM2_SIZES
+    try:
+        esm2_mod._ESM2_SIZES = {**orig, **small}
+        with pytest.raises(ValueError, match="tokenizer"):
+            embed_pipeline.generate_embeddings(
+                table, cache, n_layer=12, chemberta_params=cb_params,
+                chemberta_cfg=cb_cfg, batch=1, verbose=False)
+    finally:
+        esm2_mod._ESM2_SIZES = orig
+    assert not cache.has_drug(0)

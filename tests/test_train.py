@@ -189,6 +189,73 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.allclose(np.asarray(s1), np.asarray(s2))
 
 
+def test_flat_opt_checkpoint_restores_fields_by_name(tmp_path):
+    """Advisor r4 (medium): orbax restores FlatAdamWState as a plain dict
+    whose leaves flatten sorted-by-key (count, m, v); a positional unflatten
+    against the (m, v, count) declaration order silently assigned
+    m=count, v=m, count=v.  _restore_like must match by field NAME."""
+    import orbax.checkpoint as ocp
+
+    from druglamp_tpu.train.state import FlatAdamWState, make_adamw_tx
+    from druglamp_tpu.train.trainer import _restore_like
+
+    ck = ocp.PyTreeCheckpointer()
+    flat = FlatAdamWState(m=jnp.full((4,), 1.0), v=jnp.full((4,), 2.0),
+                          count=jnp.asarray(7, jnp.int32))
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    opt = make_adamw_tx().init(params)
+    ck.save(os.path.abspath(tmp_path / "c"),
+            {"opt_flat": flat, "opt": opt}, force=True)
+    tree = ck.restore(os.path.abspath(tmp_path / "c"))
+    rf = _restore_like(flat, tree["opt_flat"])
+    assert int(rf.count) == 7
+    np.testing.assert_array_equal(np.asarray(rf.m), 1.0)
+    np.testing.assert_array_equal(np.asarray(rf.v), 2.0)
+    ro = _restore_like(opt, tree["opt"])
+    assert jax.tree.structure(ro) == jax.tree.structure(opt)
+    assert type(ro[0]).__name__ == "ScaleByAdamState"
+    np.testing.assert_array_equal(np.asarray(ro[0].mu["w"]),
+                                  np.asarray(opt[0].mu["w"]))
+
+
+def test_resume_roundtrip_flat_opt(tmp_path):
+    """Full save→restore of a trained TrainState with DRUGLAMP_FLAT_OPT=1:
+    the restored optimizer must continue the trajectory bit-for-bit."""
+    cfg = _tiny_training_cfg()
+    model = build_model("DrugLAMPwoLLM", cfg, 24, 40)
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, 4, n_drug_feature=24,
+                                                 n_prot_feature=40))
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           batch, jax.random.key(2), method="init_all")
+    state = TrainState.create(variables, use_ssl=False, use_cm=False,
+                              flat_opt=True)
+    step = make_train_step(model, use_ssl=False, use_cm=False)
+    args = (jnp.float32(1e-3), jnp.float32(0.0), jnp.float32(0.0),
+            jnp.float32(0.5), jnp.float32(1.0))
+    rng = jax.random.key(9)
+    for _ in range(3):
+        rng, k = jax.random.split(rng)
+        state = step(state, batch, k, *args).state
+    root = _make_csv_dataset(tmp_path)
+    train_l, val_l, test_l = _loaders(root, cfg)
+    tr = Trainer(model, cfg, train_l, val_l, test_l,
+                 work_dir=str(tmp_path / "wflat"))
+    tr._save(str(tmp_path / "wflat" / "ckpt"), state)
+    restored = tr.restore(str(tmp_path / "wflat" / "ckpt"), state)
+    assert int(restored.opt_cls.count) == int(state.opt_cls.count) == 3
+    np.testing.assert_array_equal(np.asarray(restored.opt_cls.m),
+                                  np.asarray(state.opt_cls.m))
+    np.testing.assert_array_equal(np.asarray(restored.opt_cls.v),
+                                  np.asarray(state.opt_cls.v))
+    # one more step from each must agree bitwise
+    k = jax.random.key(11)
+    a = step(state, batch, k, *args).state
+    b = step(restored, batch, k, *args).state
+    for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_resume_continues_training(tmp_path):
     root = _make_csv_dataset(tmp_path)
     cfg = _tiny_training_cfg()

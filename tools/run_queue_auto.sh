@@ -59,12 +59,13 @@ No-Verification-Needed: results artifact only" && return 0
 }
 
 have_cell() {  # have_cell <model> <data> <split> <seed> [suffix] → 0 if a
-  # completed metrics.jsonl exists for that cell (training dirs are named
-  # {data}-{split}-{model}-seed{seed}-<ts> and end with a done event; eval
-  # dirs ...-seed{seed}-eval-<ts> end with the test-metrics line)
+  # completed metrics.jsonl exists for that cell.  Training AND eval runs
+  # now both end with a terminal done event (VERDICT r4 weak #4); eval dirs
+  # written before r5 lack it, so the legacy test-metrics line is also
+  # accepted for -eval to keep re-runs idempotent across rounds.
   local model="$1" data="$2" split="$3" seed="$4" suffix="${5:-}"
   local marker='"event": "done"' f
-  [ "$suffix" = "-eval" ] && marker='"test_auroc"'
+  [ "$suffix" = "-eval" ] && marker='"event": "done"\|"test_auroc"'
   for f in results/"$data-$split-$model-seed$seed"$suffix-*/metrics.jsonl; do
     [ -f "$f" ] && grep -q "$marker" "$f" && return 0
   done

@@ -55,18 +55,26 @@ def table(results_dir: str = "results"):
     """Markdown mean±std per (data, split, model) over completed seeds."""
     import statistics
 
-    cells = {}
+    cells, eval_cells = {}, {}
     for path in sorted(glob.glob(os.path.join(results_dir, "*", "metrics.jsonl"))):
         name = os.path.basename(os.path.dirname(path))
-        if "-eval-" in name:
-            continue
-        hp, test = {}, {}
+        hp, test, done = {}, {}, False
         for line in open(path):
             r = json.loads(line)
-            if r.get("event") == "hyperparams":
+            if r.get("event") == "hyperparams" or r.get("event") == "eval_only":
                 hp = r
             if "test_auroc" in r:
                 test = r
+            if r.get("event") == "done":
+                done = True
+        if "-eval-" in name:
+            # eval chains are counted from EVENTS (VERDICT r4 weak #4);
+            # pre-r5 chains lack the done event — accept their test line
+            if hp and (done or test):
+                key = (hp.get("data"), hp.get("split"), hp.get("model"))
+                seed = int(name.split("-seed")[1].split("-")[0])
+                eval_cells.setdefault(key, {})[seed] = test
+            continue
         # protocol runs only: full recipe (no --cutoff) with a test event
         if not test or not hp or hp.get("cutoff"):
             continue
@@ -92,6 +100,25 @@ def table(results_dir: str = "results"):
         seeds = ",".join(str(s) for s in sorted(by_seed))
         print(f"| {data} | {split} | {model} | {seeds} | {ms('test_auroc')} "
               f"| {ms('test_auprc')} | {ms('test_f1')} |")
+
+    if eval_cells:
+        import statistics
+
+        print("\n### transfer-eval chains (--eval-only)\n")
+        print("| eval data | eval split | model | seeds | AUROC | AUPRC |")
+        print("|---|---|---|---|---|---|")
+        for (data, split, model), by_seed in sorted(eval_cells.items()):
+            def ems(k):
+                v = [t[k] for t in by_seed.values() if k in t]
+                if not v:
+                    return "—"
+                if len(v) == 1:
+                    return f"{v[0]:.4f}"
+                return f"{statistics.mean(v):.4f} ± {statistics.stdev(v):.4f}"
+
+            seeds = ",".join(str(s) for s in sorted(by_seed))
+            print(f"| {data} | {split} | {model} | {seeds} "
+                  f"| {ems('test_auroc')} | {ems('test_auprc')} |")
 
 
 if __name__ == "__main__":
