@@ -109,8 +109,11 @@ E2E_ROWS = int(os.environ.get("DRUGLAMP_BENCH_E2E_ROWS", "1024"))
 CACHE_ROOT = os.environ.get(
     "DRUGLAMP_EMBED_CACHE", os.path.join("results", "embed_cache", "human-random"))
 # total wall-clock budget; the driver's timeout killed r3's bench (rc=124),
-# so every tier after the headline is gated on what's left of this
-BUDGET_S = float(os.environ.get("DRUGLAMP_BENCH_BUDGET_S", "540"))
+# so every tier after the headline is gated on what's left of this.
+# Driver window evidence: r4 exited cleanly at 556 s elapsed (rc=0) and the
+# r3 kill implies a hard cap ≈ 720 s; 630 + worst-tier overshoot (~50 s)
+# stays inside it while fitting ssl+full+e2e_dd after a warm preamble.
+BUDGET_S = float(os.environ.get("DRUGLAMP_BENCH_BUDGET_S", "630"))
 EXTRA_TIERS = os.environ.get("DRUGLAMP_BENCH_EXTRA", "0") == "1"
 
 
@@ -245,6 +248,14 @@ def _measure_step_scanned(model, use_ssl, use_cm, state, batch, args, rng,
     elapsed = tb - ta
     if timings is not None:
         timings["exec_s"] = time.perf_counter() - t_e
+    if elapsed <= 0:
+        # two-point timing inverted (observed r5: host contention during the
+        # ta window made tb < ta by 21 s → a NEGATIVE throughput).  A bad
+        # measurement must raise — gated() turns it into a skip — never
+        # publish as a value.
+        raise RuntimeError(
+            f"two-point timing inverted (ta={ta:.2f}s, tb={tb:.2f}s) — "
+            "host contention during measurement; rerun the tier")
     # decisive execution proof: the optimizer step counter must have
     # advanced by exactly iters steps per dispatch
     total = 1 + 1 + (reps + 1)
@@ -301,8 +312,27 @@ def _e2e_embeddings(cfg, table):
     return ZeroEmbeddings(384, 640), None, "zeros"
 
 
+def _prefetch_e2e_inputs(cfg, rows: int):
+    """Host-side inputs shared by BOTH e2e tiers (dataset featurization +
+    embedding source/store) — pure 1-core host work with no device state, so
+    it can be built on a daemon thread WHILE the ssl/full step tiers run
+    (their wall time is dominated by device execution + cache-hit compile
+    deserialization, during which the GIL is free).  Returns
+    (ds, embeddings, store, input_label) or None when the CSV is absent."""
+    from druglamp_tpu.data.dataset import DTIDataset
+
+    csv = os.path.join(DATA_ROOT, "human", "random", "train.csv")
+    if not os.path.exists(csv):
+        return None
+    ds = DTIDataset(DATA_ROOT, "human", "random", "train.csv",
+                    max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
+                    max_prot_resis=cfg.protein.max_resis, cutoff=rows)
+    embeddings, store, input_label = _e2e_embeddings(cfg, ds.table)
+    return ds, embeddings, store, input_label
+
+
 def _measure_epoch_e2e(cfg, device_data: bool = False,
-                       rows: int | None = None):
+                       rows: int | None = None, prebuilt=None):
     """Wall-clock pairs/s for one epoch of the real pipeline (CSV → host
     featurization/assembly → compact → H2D → scan-driver train steps).
     Dataset featurization (one-time, amortized across a run) is excluded;
@@ -312,25 +342,28 @@ def _measure_epoch_e2e(cfg, device_data: bool = False,
     (data/device_data.py): the dataset is uploaded once and each epoch ships
     only the (S, B) int32 index plan — the A/B partner for the host-pipeline
     number.  Requires the ordinal embedding store (LLM model); returns
-    (None, reason) when unsupported."""
+    (None, reason) when unsupported.
+
+    ``prebuilt`` = a ``_prefetch_e2e_inputs`` result built concurrently with
+    earlier tiers (r5: the feat phase is ~1/3 of the tier's warm wall)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from druglamp_tpu.data.dataset import DTIDataset
     from druglamp_tpu.data.loader import BatchLoader
     from druglamp_tpu.models.registry import build_model
     from druglamp_tpu.train.state import TrainState
     from druglamp_tpu.train.steps import make_epoch_step
 
-    csv = os.path.join(DATA_ROOT, "human", "random", "train.csv")
-    if not os.path.exists(csv):
+    t_feat = time.monotonic()
+    built = prebuilt if prebuilt is not None else \
+        _prefetch_e2e_inputs(cfg, rows or E2E_ROWS)
+    if built is None:
         return None, None
-    ds = DTIDataset(DATA_ROOT, "human", "random", "train.csv",
-                    max_nodes=cfg.drug.max_nodes, seq_len=cfg.protein.seq_len,
-                    max_prot_resis=cfg.protein.max_resis,
-                    cutoff=rows or E2E_ROWS)
-    embeddings, store, input_label = _e2e_embeddings(cfg, ds.table)
+    ds, embeddings, store, input_label = built
+    print(f"[bench] e2e{'_dd' if device_data else ''} phases: "
+          f"feat {time.monotonic() - t_feat:.1f}s"
+          f"{' (prefetched)' if prebuilt is not None else ''}", flush=True)
     loader = BatchLoader(ds, BATCH, shuffle=True, drop_last=True,
                          embeddings=embeddings, seed=0,
                          include_llm=True, compact=True,
@@ -357,8 +390,12 @@ def _measure_epoch_e2e(cfg, device_data: bool = False,
                            "dropout": jax.random.key(1)},
                           ex_one, jax.random.key(2), method="init_all")
 
+    t_init = time.monotonic()
     variables = jax.jit(init_fn)(
         {k: v for k, v in example.items() if k != "_store"}, store_tree)
+    jax.block_until_ready(variables)
+    print(f"[bench] e2e phases: init {time.monotonic() - t_init:.1f}s",
+          flush=True)
     epoch_fn = make_epoch_step(model, use_ssl=False, use_cm=False)
     args = (jnp.float32(1e-4), jnp.float32(3e-5), jnp.float32(1e-5),
             jnp.float32(0.5), jnp.float32(1.0))
@@ -385,8 +422,13 @@ def _measure_epoch_e2e(cfg, device_data: bool = False,
             raise RuntimeError(f"e2e epoch non-finite loss: {last}")
         return n / (time.perf_counter() - t0)
 
+    t_w = time.monotonic()
     run_epoch(0)           # warm: compiles (persistent-cache backed)
-    return run_epoch(1), input_label
+    t_m = time.monotonic()
+    pps = run_epoch(1)
+    print(f"[bench] e2e phases: warm-epoch {t_m - t_w:.1f}s "
+          f"measured-epoch {time.monotonic() - t_m:.1f}s", flush=True)
+    return pps, input_label
 
 
 def _measure_epoch_e2e_device_data(cfg, ds, loader, store_tree, input_label):
@@ -406,11 +448,14 @@ def _measure_epoch_e2e_device_data(cfg, ds, loader, store_tree, input_label):
 
     if not DeviceDataStore.supports(loader):
         return None, f"unsupported ({input_label})"
+    t_store = time.monotonic()
     dd = DeviceDataStore.build(ds.table, cfg.drug.max_nodes,
                                cfg.protein.seq_len,
                                include_llm=loader.include_llm,
                                emb_ordinals=loader.emb_ordinals)
     tree = dd.tree_for(ds)
+    print(f"[bench] e2e_dd phases: store {time.monotonic() - t_store:.1f}s",
+          flush=True)
 
     model = build_model("DrugLAMP", cfg)
 
@@ -420,8 +465,12 @@ def _measure_epoch_e2e_device_data(cfg, ds, loader, store_tree, input_label):
                            "dropout": jax.random.key(1)},
                           ex, jax.random.key(2), method="init_all")
 
+    t_init = time.monotonic()
     variables = jax.jit(init_fn)(
         jax.tree.map(jnp.asarray, loader.first_batch()), store_tree)
+    jax.block_until_ready(variables)
+    print(f"[bench] e2e_dd phases: init {time.monotonic() - t_init:.1f}s",
+          flush=True)
     epoch_fn = make_epoch_step_gather(model, use_ssl=False, use_cm=False,
                                       include_llm=loader.include_llm,
                                       emb_ordinals=loader.emb_ordinals)
@@ -452,8 +501,13 @@ def _measure_epoch_e2e_device_data(cfg, ds, loader, store_tree, input_label):
             raise RuntimeError(f"e2e-dd epoch non-finite loss: {last}")
         return n / (time.perf_counter() - t0)
 
+    t_w = time.monotonic()
     run_epoch(0)           # warm: compiles
-    return run_epoch(1), input_label
+    t_m = time.monotonic()
+    pps = run_epoch(1)
+    print(f"[bench] e2e_dd phases: warm-epoch {t_m - t_w:.1f}s "
+          f"measured-epoch {time.monotonic() - t_m:.1f}s", flush=True)
+    return pps, input_label
 
 
 def _result_json(cls_pps, tiers, skipped, elapsed_s, partial, salvaged=()):
@@ -538,6 +592,38 @@ def main() -> None:
 
     cfg = Config()
 
+    # ---- preamble overlap ---------------------------------------------------
+    # The dominant fixed cost in a fresh process is the tunnel attach: the
+    # FIRST device roundtrip takes 265-420 s through the axon relay (probe,
+    # r5) regardless of payload.  Pay it on a background thread while the
+    # main thread does the e2e tiers' host featurization (~45-60 s of pure
+    # numpy), so the feat phase rides inside the attach window instead of
+    # competing with tier timing later (r5 warm2: a prefetch thread racing
+    # the ssl tier slowed it 59→92 s and inverted the two-point timing).
+    import threading
+
+    import numpy as np
+
+    hs_err: list = []
+
+    def _handshake():
+        try:
+            np.asarray(jax.device_put(np.float32(0.0)))   # full H2D+D2H attach
+        except Exception as e:   # surfaced by the first real tier instead
+            hs_err.append(e)
+
+    hs = threading.Thread(target=_handshake, name="tunnel-attach")
+    hs.start()
+    _pf = {"out": None, "err": None}
+    try:
+        _pf["out"] = _prefetch_e2e_inputs(cfg, E2E_ROWS)
+    except Exception as e:
+        _pf["err"] = e
+    hs.join()
+    print(f"[bench] attach+prefetch done at {time.monotonic() - t_start:.1f}s"
+          f" (prefetch {'ok' if _pf['err'] is None else repr(_pf['err'])})",
+          flush=True)
+
     # ---- headline tier first: DrugLAMP cls step, scanned -------------------
     # Three phases timed separately (r4 postmortem: the driver's cold
     # headline took 388 s, and estimates that scaled the WHOLE headline cost
@@ -558,8 +644,11 @@ def main() -> None:
     tiers, skipped, salvaged = {}, [], []
     print(_result_json(cls_pps, tiers, ["pending"],
                        time.monotonic() - t_start, partial=True), flush=True)
-    print(f"[bench] headline phases: setup {setup_s:.1f}s "
-          f"compile {compile_s:.1f}s exec {exec_s:.1f}s "
+    # preamble = import jax + backend/tunnel handshake + everything the
+    # three phases don't cover — one-time per process, never recurs per-tier
+    print(f"[bench] headline phases: preamble "
+          f"{time.monotonic() - t_start - setup_s - compile_s - exec_s:.1f}s "
+          f"setup {setup_s:.1f}s compile {compile_s:.1f}s exec {exec_s:.1f}s "
           f"(left {left():.0f}s)", flush=True)
 
     # ---- remaining tiers, budget-gated --------------------------------------
@@ -617,38 +706,74 @@ def main() -> None:
     # measurement (warm + 1 + reps+1); compile/setup are irreducible
     sal_ssl = setup_s * 1.3 + compile_s * 1.5 + exec_s * ssl_x * 0.6
     sal_full = setup_s * 1.5 + compile_s * 2.0 + exec_s * full_x * 0.6
-    # e2e: dataset featurization (rows-proportional host work) + store build
-    # + init/epoch-scan compile + 2 measured epochs.  The featurize+epoch
-    # part is rows-proportional; compile tracks the headline's compile state.
-    feat_unit = 25.0 * E2E_ROWS / 1024.0    # r4: ~25 s feat+epochs @1024 rows
-    est_e2e = setup_s * 0.8 + compile_s * 1.4 + feat_unit
-    est_e2e_dd = setup_s * 0.8 + compile_s * 1.2 + feat_unit
-    sal_frac = SALVAGE_ROWS / E2E_ROWS
-    sal_e2e = setup_s * 0.8 + compile_s * 1.4 + feat_unit * sal_frac
-    sal_e2e_dd = setup_s * 0.8 + compile_s * 1.2 + feat_unit * sal_frac
+    # e2e tiers reuse the host inputs prefetched during the tunnel attach
+    # (top of main); on prefetch failure they fall back to the inline build
+    def e2e_prebuilt():
+        if _pf["err"] is not None:
+            print(f"[bench] e2e prefetch failed: {_pf['err']!r}", flush=True)
+            return None
+        return _pf["out"]
 
-    # tier order = information value (VERDICT r4 #1): the ssl/full step MFUs
-    # and the dd epoch rate have never appeared in a driver artifact; the
-    # host-pipeline e2e is their least novel A/B partner, so it goes last.
+    pf_ok = _pf["err"] is None and _pf["out"] is not None
+
+    # Warm-floor cost model (calibrated: bench_r5_prime.log cold = headline
+    # compile 67 s, e2e_dd 223 s, e2e 157 s; bench_r5_warm.log warm =
+    # headline compile 13 s, e2e_dd 154 s).  The tier's epoch-program
+    # cache-hit deserialization does NOT scale with the headline's compile_s
+    # — a warm cache still pays tens of seconds per distinct program through
+    # the tunnel — so estimates are warm floors plus a cold surcharge keyed
+    # on the headline's own compile phase, minus the prefetched feat part.
+    cold = compile_s > 30.0
+    feat_unit = 45.0 * E2E_ROWS / 1024.0
+    sal_feat = 45.0 * SALVAGE_ROWS / 1024.0
+
+    def e2e_est(warm_floor, cold_extra):
+        """(full_est, salvage_est).  warm_floor includes feat @E2E_ROWS; the
+        full variant drops it when the prefetch already paid it; salvage
+        rebuilds inline at SALVAGE_ROWS.  The non-feat remainder is almost
+        entirely store-build + jitted-init + warm-epoch compile (the
+        measured epoch itself is ~2 s at 582 pairs/s), so salvage saves
+        little more than feat — it exists for the prefetch-failed case."""
+        extra = cold_extra if cold else 0.0
+        full = warm_floor - (feat_unit if pf_ok else 0.0) + extra
+        # salvage at SALVAGE_ROWS: feat scales with rows; store-build and
+        # the measured epoch shrink ~proportionally too (only init/compile
+        # are fixed) — model the non-feat remainder at 0.8×
+        sal = (warm_floor - feat_unit) * 0.8 + sal_feat + extra
+        return full, sal
+
+    # tier order = information value (VERDICT r4 #1: ssl → e2e_dd → full →
+    # e2e): the ssl/full step MFUs have never appeared in a driver artifact;
+    # the dd epoch rate is the production transport and the scarcer epoch
+    # artifact, so it outranks full when the budget only fits one; the
+    # host-pipeline e2e is the least novel A/B partner and goes last.
     tiers["ssl"] = gated("ssl", est_ssl, ssl_tier,
                          lambda: ssl_tier(reps=1), sal_ssl)
     _after_ssl = _result_json(cls_pps, tiers, skipped + ["pending"],
                               time.monotonic() - t_start, partial=True,
                               salvaged=salvaged)
     print(_after_ssl, flush=True)
+    dd_full_est, dd_sal_est = e2e_est(160.0, 70.0)
     tiers["e2e_dd"] = gated(
-        "e2e_dd", est_e2e_dd,
-        lambda: _measure_epoch_e2e(cfg, device_data=True),
+        "e2e_dd", dd_full_est,
+        lambda: _measure_epoch_e2e(cfg, device_data=True,
+                                   prebuilt=e2e_prebuilt()),
         lambda: _measure_epoch_e2e(cfg, device_data=True, rows=SALVAGE_ROWS),
-        sal_e2e_dd)
+        dd_sal_est)
+    print(_result_json(cls_pps, tiers, skipped + ["pending"],
+                       time.monotonic() - t_start, partial=True,
+                       salvaged=salvaged), flush=True)
     tiers["full"] = gated("full", est_full, full_tier,
                           lambda: full_tier(reps=1), sal_full)
     print(_result_json(cls_pps, tiers, skipped + ["pending"],
                        time.monotonic() - t_start, partial=True,
                        salvaged=salvaged), flush=True)
-    tiers["e2e"] = gated("e2e", est_e2e, lambda: _measure_epoch_e2e(cfg),
-                         lambda: _measure_epoch_e2e(cfg, rows=SALVAGE_ROWS),
-                         sal_e2e)
+    h_full_est, h_sal_est = e2e_est(110.0, 45.0)
+    tiers["e2e"] = gated(
+        "e2e", h_full_est,
+        lambda: _measure_epoch_e2e(cfg, prebuilt=e2e_prebuilt()),
+        lambda: _measure_epoch_e2e(cfg, rows=SALVAGE_ROWS),
+        h_sal_est)
 
     if EXTRA_TIERS:
         def bs64_tier():
