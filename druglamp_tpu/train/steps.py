@@ -223,6 +223,37 @@ def make_epoch_step(model, use_ssl: bool, use_cm: bool, calibrate: bool = False,
     return epoch_step
 
 
+# pre-gathered (S,B,L,F) embedding xs above this many bytes fall back to
+# per-step gathers (HBM safety; v5e has 16 GB and the model itself is small)
+_PREGATHER_BUDGET = int(os.environ.get("DRUGLAMP_PREGATHER_BUDGET",
+                                       str(6 << 30)))
+
+
+def _pregather_embeddings(data_tree, emb_store, idx, active: bool):
+    """One whole-chunk embedding gather hoisted out of the scan (see
+    make_epoch_step_gather docstring).  Returns None (feature off / store
+    absent / over budget) or a dict of (S, B, ...) arrays whose per-step
+    slices are exactly what decode_batch's store block would produce."""
+    if not active or emb_store is None:
+        return None
+    S, B = idx.shape
+    de, pe = emb_store["drug_emb"], emb_store["prot_emb"]
+    nbytes = S * B * (de[0].size * de.dtype.itemsize
+                      + pe[0].size * pe.dtype.itemsize)
+    if nbytes > _PREGATHER_BUDGET:
+        return None
+    flat = idx.reshape(-1)
+    dord = jnp.take(data_tree["pair_drug"], flat, axis=0)
+    pord = jnp.take(data_tree["pair_prot"], flat, axis=0)
+
+    def g(src, ids):
+        out = jnp.take(src, ids, axis=0)
+        return out.reshape((S, B) + src.shape[1:])
+
+    return {"xd": g(de, dord), "d_ntok": g(emb_store["drug_len"], dord),
+            "xp_src": g(pe, pord), "xp_len": g(emb_store["prot_len"], pord)}
+
+
 def make_epoch_step_gather(model, use_ssl: bool, use_cm: bool,
                            include_llm: bool, emb_ordinals: bool,
                            calibrate: bool = False,
@@ -234,7 +265,15 @@ def make_epoch_step_gather(model, use_ssl: bool, use_cm: bool,
     Per-chunk H2D shrinks from ~MBs of batch data to the index array (~KBs);
     host assembly disappears entirely.  Trajectories are identical to
     make_epoch_step fed by BatchLoader on the same index order
-    (tests/test_device_data.py::test_gather_trajectory_matches_scan)."""
+    (tests/test_device_data.py::test_gather_trajectory_matches_scan).
+
+    LLM-embedding gathers are HOISTED out of the scan: the r5 on-chip trace
+    (docs/artifacts/xprof_epoch_r5.log) showed XLA's per-step lowering of
+    ``take(prot_emb[2001,1024,640], 16 ids)`` streaming the WHOLE store
+    every step (5.9 + 2.0 ms of the 17.5 ms step = 45%), while one
+    whole-chunk gather streams it once per dispatch.  The pre-gathered
+    (S, B, L, F) buffers ride the scan as xs (~1.7 GB at chunk 64/bs 16 —
+    guarded by _PREGATHER_BUDGET with fallback to per-step gathers)."""
     from druglamp_tpu.data.device_data import gather_compact_batch
 
     body = _make_step_body(model, use_ssl, use_cm, calibrate, grad_mode, n_class)
@@ -242,20 +281,26 @@ def make_epoch_step_gather(model, use_ssl: bool, use_cm: bool,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch_step(state: TrainState, idx, valid, data_tree, emb_store, rng,
                    lr_cls, lr_ssl, lr_cm, margin, cm_weight) -> EpochOutput:
+        pref = _pregather_embeddings(data_tree, emb_store, idx,
+                                     include_llm and emb_ordinals)
+
         def scan_body(carry, step_in):
             state, w, rng = carry
-            step_idx, step_valid = step_in
+            step_idx, step_valid, step_pref = step_in
             rng, step_rng = jax.random.split(rng)
             batch = gather_compact_batch(data_tree, step_idx, step_valid,
                                          include_llm, emb_ordinals, emb_store)
-            if emb_store is not None:
+            if step_pref is not None:
+                del batch["drug_ord"], batch["prot_ord"]
+                batch.update(step_pref)          # xd/d_ntok/xp_src/xp_len
+            elif emb_store is not None:
                 batch["_store"] = emb_store
             out = body(state, batch, step_rng, lr_cls, lr_ssl, lr_cm, margin, w)
             return ((out.state, out.cm_weight, rng),
                     (out.cls_loss, out.ssl_loss, out.cm_loss))
 
         (state, w, rng), (cls_l, ssl_l, cm_l) = jax.lax.scan(
-            scan_body, (state, cm_weight, rng), (idx, valid))
+            scan_body, (state, cm_weight, rng), (idx, valid, pref))
         return EpochOutput(state, cls_l, ssl_l, cm_l, w, rng)
 
     return epoch_step
@@ -272,15 +317,21 @@ def make_eval_scan_gather(model, include_llm: bool, emb_ordinals: bool,
 
     @jax.jit
     def eval_scan(params, batch_stats, idx, valid, data_tree, emb_store):
+        pref = _pregather_embeddings(data_tree, emb_store, idx,
+                                     include_llm and emb_ordinals)
+
         def body(_, step_in):
-            step_idx, step_valid = step_in
+            step_idx, step_valid, step_pref = step_in
             batch = gather_compact_batch(data_tree, step_idx, step_valid,
                                          include_llm, emb_ordinals, emb_store)
-            if emb_store is not None:
+            if step_pref is not None:
+                del batch["drug_ord"], batch["prot_ord"]
+                batch.update(step_pref)
+            elif emb_store is not None:
                 batch["_store"] = emb_store
             return None, step(params, batch_stats, batch)
 
-        _, (probs, losses) = jax.lax.scan(body, None, (idx, valid))
+        _, (probs, losses) = jax.lax.scan(body, None, (idx, valid, pref))
         return probs, losses                      # (S, B), (S,)
 
     return eval_scan

@@ -77,6 +77,20 @@ def main():
              jnp.float32(0.5), jnp.float32(1.0))
     chunk = cfg.solver.scan_chunk
 
+    if os.environ.get("XPROF_EPOCH_HLO", "0") == "1":
+        # save the optimized HLO (compile is a cache hit after a first run)
+        state0 = TrainState.create(jax.tree.map(jnp.copy, variables),
+                                   use_ssl=False, use_cm=False)
+        idx0 = train_index_plan(loader._order(0), bench.BATCH)[:chunk]
+        ones0 = np.ones(idx0.shape, np.float32)
+        low = jax.jit(epoch_fn).lower(state0, jnp.asarray(idx0),
+                                      jnp.asarray(ones0), tree, store_tree,
+                                      jax.random.key(4), *sargs)
+        os.makedirs(args.logdir, exist_ok=True)
+        with open(os.path.join(args.logdir, "hlo.txt"), "w") as f:
+            f.write(low.compile().as_text())
+        print("[xprof-e] hlo saved", flush=True)
+
     def run_epoch(ep, phases=None):
         state = TrainState.create(jax.tree.map(jnp.copy, variables),
                                   use_ssl=False, use_cm=False)
