@@ -700,12 +700,20 @@ def main() -> None:
     # exec multipliers = audited per-pair FLOP ratios vs the cls tier
     ssl_x = SSL_GFLOP_PER_PAIR / TRAIN_GFLOP_PER_PAIR     # ≈ 2.16
     full_x = FULL_GFLOP_PER_PAIR / TRAIN_GFLOP_PER_PAIR   # ≈ 3.0
-    est_ssl = setup_s * 1.3 + compile_s * 1.5 + exec_s * ssl_x
-    est_full = setup_s * 1.5 + compile_s * 2.0 + exec_s * full_x
+    # Step-tier cost model recalibrated against 4 measured points (r5):
+    # ssl took 130.6 s cold / 119.6 s warm, full 132.1 s cold — nearly
+    # CONSTANT regardless of the headline's compile phase (a tier's own
+    # programs pay deserialization + incremental compile, not a multiple
+    # of the headline compile).  The old compile_s×1.5–2.0 terms
+    # over-estimated 2–3× and skipped `full` with 150 s of budget unused
+    # (bench_r5_warm2.log).  Model: setup (scales with program size) +
+    # ~65–75 s tier compile/deserialize + FLOP-scaled exec.
+    est_ssl = setup_s * 1.0 + 65.0 + exec_s * ssl_x
+    est_full = setup_s * 1.1 + 75.0 + exec_s * full_x
     # salvage: same compiled scan, reps=1 → exec ≈ 4/7 of the full 7-dispatch
     # measurement (warm + 1 + reps+1); compile/setup are irreducible
-    sal_ssl = setup_s * 1.3 + compile_s * 1.5 + exec_s * ssl_x * 0.6
-    sal_full = setup_s * 1.5 + compile_s * 2.0 + exec_s * full_x * 0.6
+    sal_ssl = setup_s * 1.0 + 65.0 + exec_s * ssl_x * 0.6
+    sal_full = setup_s * 1.1 + 75.0 + exec_s * full_x * 0.6
     # e2e tiers reuse the host inputs prefetched during the tunnel attach
     # (top of main); on prefetch failure they fall back to the inline build
     def e2e_prebuilt():
@@ -723,7 +731,13 @@ def main() -> None:
     # — a warm cache still pays tens of seconds per distinct program through
     # the tunnel — so estimates are warm floors plus a cold surcharge keyed
     # on the headline's own compile phase, minus the prefetched feat part.
-    cold = compile_s > 30.0
+    # Threshold between warm and cold headline compiles: a warm .jax_cache
+    # still pays cache-hit deserialization through the tunnel — measured
+    # 49.6 s under host contention (bench_r5_warm2.log) vs 92.7 s truly
+    # cold (bench_r5_prime.log) — so 30 s misclassified a warm run as cold
+    # and inflated every remaining tier's estimate (the r5 warm validation
+    # skipped `full` with 150 s of budget left unused).
+    cold = compile_s > 70.0
     feat_unit = 45.0 * E2E_ROWS / 1024.0
     sal_feat = 45.0 * SALVAGE_ROWS / 1024.0
 
@@ -742,17 +756,24 @@ def main() -> None:
         sal = (warm_floor - feat_unit) * 0.8 + sal_feat + extra
         return full, sal
 
-    # tier order = information value (VERDICT r4 #1: ssl → e2e_dd → full →
-    # e2e): the ssl/full step MFUs have never appeared in a driver artifact;
-    # the dd epoch rate is the production transport and the scarcer epoch
-    # artifact, so it outranks full when the budget only fits one; the
-    # host-pipeline e2e is the least novel A/B partner and goes last.
+    # tier order = information value (VERDICT r4 #1 done-criterion: the
+    # artifact needs non-null ssl_step, full_step, AND ≥1 epoch tier — so
+    # the two step tiers come first (cheapest per bit of novelty: their
+    # MFUs have never appeared in a driver artifact), then the dd epoch
+    # (production transport), then the host-pipeline e2e (least novel A/B
+    # partner; its tier is also the one the r5 prime run showed cheapest
+    # to re-derive offline).
     tiers["ssl"] = gated("ssl", est_ssl, ssl_tier,
                          lambda: ssl_tier(reps=1), sal_ssl)
     _after_ssl = _result_json(cls_pps, tiers, skipped + ["pending"],
                               time.monotonic() - t_start, partial=True,
                               salvaged=salvaged)
     print(_after_ssl, flush=True)
+    tiers["full"] = gated("full", est_full, full_tier,
+                          lambda: full_tier(reps=1), sal_full)
+    print(_result_json(cls_pps, tiers, skipped + ["pending"],
+                       time.monotonic() - t_start, partial=True,
+                       salvaged=salvaged), flush=True)
     dd_full_est, dd_sal_est = e2e_est(160.0, 70.0)
     tiers["e2e_dd"] = gated(
         "e2e_dd", dd_full_est,
@@ -760,11 +781,6 @@ def main() -> None:
                                    prebuilt=e2e_prebuilt()),
         lambda: _measure_epoch_e2e(cfg, device_data=True, rows=SALVAGE_ROWS),
         dd_sal_est)
-    print(_result_json(cls_pps, tiers, skipped + ["pending"],
-                       time.monotonic() - t_start, partial=True,
-                       salvaged=salvaged), flush=True)
-    tiers["full"] = gated("full", est_full, full_tier,
-                          lambda: full_tier(reps=1), sal_full)
     print(_result_json(cls_pps, tiers, skipped + ["pending"],
                        time.monotonic() - t_start, partial=True,
                        salvaged=salvaged), flush=True)

@@ -8,9 +8,11 @@ Embedding(27 → embedding_dim-1, pad id 0 pinned to zeros) ‖ fill-bit, then
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from druglamp_tpu.nn import inits
@@ -31,7 +33,18 @@ class ProteinCNN(nn.Module):
         """v (B, L) int tokens, fill_mask (B, L) float → (B, L, num_filters[-1])."""
         emb_table = self.param("embedding", inits.normal_embed,
                                (self.vocab, self.embedding_dim - 1))
-        x = emb_table[v]
+        if os.environ.get("DRUGLAMP_ONEHOT_EMBED", "0") == "1":
+            # The xprof per-fusion profile (docs/artifacts/xprof_cls_r5.log)
+            # shows this gather's BACKWARD — a scatter-add of (B·L) rows
+            # into the (27, 127) table — as the largest single op of the
+            # cls step (274 µs, 3.1%).  As a one-hot matmul both directions
+            # are MXU matmuls: fwd (B·L,27)@(27,127); bwd for the table is
+            # onehotᵀ@g, a dense reduction.  Values are exact (each output
+            # element is a single product); gated for on-chip A/B.
+            oh = jax.nn.one_hot(v, self.vocab, dtype=emb_table.dtype)
+            x = oh @ emb_table
+        else:
+            x = emb_table[v]
         if self.padding:
             # torch padding_idx=0: row 0 is zeros and never trains
             x = x * (v != 0)[..., None].astype(x.dtype)

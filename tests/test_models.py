@@ -133,3 +133,38 @@ def test_grads_flow():
     assert float(jnp.abs(g).sum()) > 0
     g2 = grads["drug_extractor"]["layer_0"]["res_connection"]["kernel"]
     assert float(jnp.abs(g2).sum()) > 0
+
+
+def test_onehot_embed_matches_gather(monkeypatch):
+    """DRUGLAMP_ONEHOT_EMBED=1 replaces the ProteinCNN embedding gather with
+    a one-hot matmul (nn/protein_cnn.py).  Forward values are exact (each
+    output element is one product); the table gradient — a scatter-add vs a
+    dense onehotᵀ@g reduction — may differ only in summation order."""
+    from druglamp_tpu.nn.protein_cnn import ProteinCNN
+
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.integers(0, 27, size=(4, 72)), jnp.int32)
+    fill = jnp.asarray(rng.integers(0, 2, size=(4, 72)), jnp.float32)
+    model = ProteinCNN(embedding_dim=16, num_filters=(8, 8, 8))
+    variables = model.init(jax.random.key(0), v, fill)
+
+    def run(on):
+        if on:
+            monkeypatch.setenv("DRUGLAMP_ONEHOT_EMBED", "1")
+        else:
+            monkeypatch.delenv("DRUGLAMP_ONEHOT_EMBED", raising=False)
+
+        def loss(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                v, fill, train=True, mutable=["batch_stats"])
+            return jnp.sum(out * out)
+
+        val, grads = jax.jit(jax.value_and_grad(loss))(variables["params"])
+        return float(val), jax.tree.map(np.asarray, grads)
+
+    v0, g0 = run(False)
+    v1, g1 = run(True)
+    np.testing.assert_allclose(v1, v0, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
