@@ -33,14 +33,16 @@ class ProteinCNN(nn.Module):
         """v (B, L) int tokens, fill_mask (B, L) float → (B, L, num_filters[-1])."""
         emb_table = self.param("embedding", inits.normal_embed,
                                (self.vocab, self.embedding_dim - 1))
-        if os.environ.get("DRUGLAMP_ONEHOT_EMBED", "0") == "1":
+        if os.environ.get("DRUGLAMP_ONEHOT_EMBED", "1") == "1":
             # The xprof per-fusion profile (docs/artifacts/xprof_cls_r5.log)
             # shows this gather's BACKWARD — a scatter-add of (B·L) rows
             # into the (27, 127) table — as the largest single op of the
             # cls step (274 µs, 3.1%).  As a one-hot matmul both directions
             # are MXU matmuls: fwd (B·L,27)@(27,127); bwd for the table is
             # onehotᵀ@g, a dense reduction.  Values are exact (each output
-            # element is a single product); gated for on-chip A/B.
+            # element is a single product).  On-chip A/B: 1876 vs 1790
+            # pairs/s cls step (+4.7%, bench_onehot_ab_r5.log) — default on;
+            # DRUGLAMP_ONEHOT_EMBED=0 restores the gather.
             oh = jax.nn.one_hot(v, self.vocab, dtype=emb_table.dtype)
             x = oh @ emb_table
         else:

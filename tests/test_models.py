@@ -149,10 +149,7 @@ def test_onehot_embed_matches_gather(monkeypatch):
     variables = model.init(jax.random.key(0), v, fill)
 
     def run(on):
-        if on:
-            monkeypatch.setenv("DRUGLAMP_ONEHOT_EMBED", "1")
-        else:
-            monkeypatch.delenv("DRUGLAMP_ONEHOT_EMBED", raising=False)
+        monkeypatch.setenv("DRUGLAMP_ONEHOT_EMBED", "1" if on else "0")
 
         def loss(params):
             out, _ = model.apply(
